@@ -1,0 +1,65 @@
+"""Intersector selection: brute-force oracle vs BVH-accelerated traversal.
+
+The integrator (``render/integrator.py``) is agnostic to how rays are
+intersected; this module picks the backend:
+
+- ``"brute"``  — masked all-pairs Moller-Trumbore (exact oracle; fine for
+  small scenes and the correctness reference for everything else);
+- ``"bvh"``    — flattened BVH traversal (``accel/bvh.py``), the TPU analog of
+  the reference's kd-tree (``src/kdtree.cpp``);
+- ``"auto"``   — BVH for large scenes, brute force for tiny ones (the
+  crossover is where the O(T) sweep beats tree-traversal overhead on TPU).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+from chiaroscuro_tpu.geometry.intersect import (
+    AnyFn,
+    ClosestFn,
+    ClosestHit,
+    intersect_any_bruteforce,
+    intersect_closest_bruteforce,
+)
+from chiaroscuro_tpu.scene.scene_arrays import SceneArrays
+
+# Below this triangle count the brute-force sweep tends to win on TPU
+# (no gather latency, perfectly dense VPU work).
+AUTO_BVH_THRESHOLD = 4096
+
+
+def make_intersectors(
+    scene: SceneArrays, method: str = "auto", chunk: int = 2048
+) -> Tuple[ClosestFn, AnyFn]:
+    if method == "auto":
+        method = "bvh" if scene.n_tris > AUTO_BVH_THRESHOLD else "brute"
+
+    if method == "brute":
+        def closest_fn(origins, dirs) -> ClosestHit:
+            hit, t, tid, u, v = intersect_closest_bruteforce(
+                origins, dirs, scene.tri_v0, scene.tri_v1, scene.tri_v2, chunk
+            )
+            return ClosestHit(hit, t, tid, u, v)
+
+        def any_fn(origins, dirs, tmax, exclude_id):
+            return intersect_any_bruteforce(
+                origins,
+                dirs,
+                scene.tri_v0,
+                scene.tri_v1,
+                scene.tri_v2,
+                tmax,
+                exclude_id,
+                chunk,
+            )
+
+        return closest_fn, any_fn
+
+    if method == "bvh":
+        from chiaroscuro_tpu.accel.bvh import build_bvh, make_bvh_intersectors
+
+        bvh = build_bvh(scene)
+        return make_bvh_intersectors(scene, bvh)
+
+    raise ValueError(f"unknown intersector method: {method!r}")

@@ -1,0 +1,64 @@
+"""ctypes bindings to the native C++ components (built on demand).
+
+``lib()`` lazily compiles ``libexr_io.so`` with the system toolchain the
+first time it is needed; the build is cached next to the sources.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_FAILED = False
+
+
+def lib() -> Optional[ctypes.CDLL]:
+    """The native library, building it if necessary; None if unavailable."""
+    global _LIB, _FAILED
+    if _LIB is not None or _FAILED:
+        return _LIB
+    with _LOCK:
+        if _LIB is not None or _FAILED:
+            return _LIB
+        so = os.path.join(_DIR, "libexr_io.so")
+        if not os.path.exists(so):
+            try:
+                subprocess.run(
+                    ["sh", os.path.join(_DIR, "build.sh")],
+                    check=True,
+                    capture_output=True,
+                )
+            except Exception as e:
+                print(f"WARNING: native build failed ({e}); EXR I/O degraded")
+                _FAILED = True
+                return None
+        try:
+            l = ctypes.CDLL(so)
+        except OSError as e:
+            print(f"WARNING: cannot load {so}: {e}")
+            _FAILED = True
+            return None
+        l.exr_get_size.restype = ctypes.c_int
+        l.exr_get_size.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        l.exr_read_rgb.restype = ctypes.c_int
+        l.exr_read_rgb.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_float)]
+        l.exr_write_rgb.restype = ctypes.c_int
+        l.exr_write_rgb.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        _LIB = l
+        return _LIB

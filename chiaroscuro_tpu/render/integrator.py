@@ -1,0 +1,199 @@
+"""Wavefront path-tracing integrator.
+
+The reference integrates with per-pixel recursion + Russian-roulette early
+``return`` (``src/rayTracer.cpp:76-135``).  On TPU, data-dependent recursion
+does not exist under ``jit``; instead we run a **wavefront**: all rays advance
+through a ``lax.scan`` over bounce index with an active mask, and terminated
+lanes simply stop contributing.  The estimator is mathematically identical —
+NEE + cosine-BSDF sampling + RR become masked updates of (throughput, L).
+
+Reference semantics preserved exactly (required for allclose parity):
+- emission only on *primary* hits, weighted by max(0, dot(wo, n))
+  (``rayTracer.cpp:85``) — secondary light hits contribute only via NEE;
+- NEE geometric term max(0, cos_i * cos_l) / (1 + d^2) — the reference's
+  nonstandard falloff (``rayTracer.cpp:106``);
+- NEE weight = area * n_lights (uniform light pick, pdf 1/n_lights;
+  ``rayTracer.cpp:108``), light point from v0 ~ U(0,1), v1 ~ U(0, 1-v0)
+  (``rayTracer.cpp:96-97`` — *not* uniform over the triangle; preserved);
+- shadow ray from hit + 1e-3 * n with tmax = distance, excluding the sampled
+  light triangle id (``rayTracer.cpp:104``, ``kdtree.cpp:322-331``);
+- Russian roulette on Kmax = max(f.rgb) = max(Kd)/pi, survival iff
+  u <= Kmax, throughput *= f * |cos| / (pdf * Kmax) (``rayTracer.cpp:124-131``);
+- depth cap k == K stops after direct lighting (``rayTracer.cpp:113-116``);
+- miss at any depth contributes throughput * background
+  (``rayTracer.cpp:134``);
+- flat per-triangle normal = mean of vertex normals, used raw
+  (``kdtree.cpp:58-60``), hit point from barycentric interpolation
+  (``rayTracer.cpp:150-151``).
+
+Intersectors are injected (``closest_fn``, ``any_fn``) so the same integrator
+drives the brute-force oracle, the BVH traversal, and the Pallas kernels.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from chiaroscuro_tpu.geometry.intersect import AnyFn, ClosestFn, ClosestHit  # noqa: F401
+from chiaroscuro_tpu.sampling import prng
+from chiaroscuro_tpu.sampling.samplers import M_1_PI, sample_wi_diffuse
+from chiaroscuro_tpu.scene.scene_arrays import BRDF_EMISSIVE, SceneArrays
+
+EPS_OFFSET = jnp.float32(1.0e-3)  # rayTracer.cpp:104,130
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def _normalize(v):
+    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    return v / jnp.where(n == 0.0, 1.0, n)
+
+
+def texture_kd_lookup(scene: SceneArrays, tid, u, v):
+    """Diffuse albedo at a hit: nearest-texel fetch with repeat wrap, or the
+    material Kd when untextured (``rayTracer.cpp:153-157``, ``mesh.cpp:21-35``).
+
+    Wrap semantics mirror the reference's while-loop wrap: fractional part,
+    except exactly-integral coords > 0 map to 1.0 (then clamped to the last
+    texel — the reference reads out of bounds there; we clamp, a conscious
+    divergence documented in SURVEY.md §7).
+    """
+    w = 1.0 - u - v
+    uv = (
+        scene.uv0[tid] * w[..., None]
+        + scene.uv1[tid] * u[..., None]
+        + scene.uv2[tid] * v[..., None]
+    )
+
+    tex_id = scene.tex_id[tid]
+    safe_id = jnp.maximum(tex_id, 0)
+    tw = scene.tex_width[safe_id]
+    th = scene.tex_height[safe_id]
+    off = scene.tex_offset[safe_id]
+
+    def wrap(c):
+        f = c - jnp.floor(c)
+        return jnp.where((f == 0.0) & (c > 0.0), 1.0, f)
+
+    x = jnp.minimum((wrap(uv[..., 0]) * tw).astype(jnp.int32), tw - 1)
+    y = jnp.minimum((wrap(uv[..., 1]) * th).astype(jnp.int32), th - 1)
+    texel = scene.tex_data[off + y * tw + x]
+
+    return jnp.where((tex_id >= 0)[..., None], texel, scene.kd[tid])
+
+
+def trace_paths(
+    scene: SceneArrays,
+    origins: jax.Array,       # (R, 3) ray origins (camera eye, broadcast)
+    dirs: jax.Array,          # (R, 3) primary directions (may be unnormalized)
+    keys: jax.Array,          # (R, 2/4) per-(pixel,sample) PRNG keys
+    depth: int,               # scene.k — max path vertices
+    background: jax.Array,    # (3,)
+    closest_fn: ClosestFn,
+    any_fn: AnyFn,
+) -> jax.Array:
+    """Estimate radiance for R primary rays. Returns (R, 3)."""
+    R = origins.shape[0]
+    n_lights = scene.n_lights
+
+    def bounce(state, k):
+        origin, direction, throughput, radiance, active = state
+
+        hit, _, tid, bu, bv = closest_fn(origin, direction)
+        hit = hit & active
+
+        # Miss -> background, terminate (rayTracer.cpp:134).
+        radiance = radiance + jnp.where(
+            (active & ~hit)[:, None], throughput * background[None, :], 0.0
+        )
+
+        # Hit resolution (rayTracer.cpp:148-166).
+        w = 1.0 - bu - bv
+        point = (
+            scene.tri_v0[tid] * w[:, None]
+            + scene.tri_v1[tid] * bu[:, None]
+            + scene.tri_v2[tid] * bv[:, None]
+        )
+        normal = scene.normal[tid]
+        wo = _normalize(origin - point)
+        kd = texture_kd_lookup(scene, tid, bu, bv)
+        f_brdf = kd * M_1_PI  # Diffuse::f (brdf.cpp:70)
+
+        emitted = jnp.where(
+            (scene.brdf_type[tid] == BRDF_EMISSIVE)[:, None], scene.ke[tid], 0.0
+        )
+        direct = jnp.where(
+            k == 1,
+            emitted * jnp.maximum(0.0, _dot(wo, normal))[:, None],
+            jnp.zeros_like(emitted),
+        )
+
+        un = prng.bounce_uniforms_batch(keys, k)  # (R, N_BOUNCE_DIMS)
+
+        if n_lights > 0:
+            li = jnp.minimum(
+                (un[:, prng.DIM_LIGHT_SEL] * n_lights).astype(jnp.int32),
+                n_lights - 1,
+            )
+            ltid = scene.light_ids[li]
+            larea = scene.light_areas[li]
+            lv0 = scene.tri_v0[ltid]
+            lv1 = scene.tri_v1[ltid]
+            lv2 = scene.tri_v2[ltid]
+            lnormal = scene.normal[ltid]
+            lke = scene.ke[ltid]
+
+            # v0 ~ U(0,1), v1 ~ U(0, 1-v0)  (rayTracer.cpp:96-97)
+            b0 = un[:, prng.DIM_LIGHT_U]
+            b1 = un[:, prng.DIM_LIGHT_V] * (1.0 - b0)
+            lpoint = (
+                b0[:, None] * lv0
+                + b1[:, None] * lv1
+                + (1.0 - b0 - b1)[:, None] * lv2
+            )
+
+            to_light = lpoint - point
+            dist = jnp.linalg.norm(to_light, axis=-1)
+            wl = _normalize(to_light)
+
+            occluded = any_fn(point + EPS_OFFSET * normal, wl, dist, ltid)
+
+            geometric = jnp.maximum(
+                0.0,
+                _dot(normal, wl) * _dot(-wl, lnormal) / (1.0 + dist * dist),
+            )
+            nee = lke * (geometric * larea * n_lights)[:, None] * f_brdf
+            direct = direct + jnp.where((~occluded)[:, None], nee, 0.0)
+
+        radiance = radiance + jnp.where(hit[:, None], throughput * direct, 0.0)
+
+        # Extend the path (rayTracer.cpp:119-131).
+        wi, pdf = sample_wi_diffuse(
+            normal, un[:, prng.DIM_BSDF_U], un[:, prng.DIM_BSDF_V]
+        )
+        kmax = jnp.max(f_brdf, axis=-1)
+        survive = (pdf > 0.0) & (un[:, prng.DIM_RR] <= kmax)
+        cosine = jnp.abs(_dot(normal, wi))
+        scale = f_brdf * (cosine / jnp.where(pdf > 0.0, pdf * kmax, 1.0))[:, None]
+
+        new_active = hit & survive & (k < depth)
+        throughput = jnp.where(new_active[:, None], throughput * scale, throughput)
+        origin = jnp.where(hit[:, None], point + EPS_OFFSET * normal, origin)
+        direction = jnp.where(new_active[:, None], wi, direction)
+
+        return (origin, direction, throughput, radiance, new_active), None
+
+    init = (
+        origins,
+        dirs,
+        jnp.ones((R, 3), jnp.float32),
+        jnp.zeros((R, 3), jnp.float32),
+        jnp.ones((R,), bool),
+    )
+    (_, _, _, radiance, _), _ = jax.lax.scan(
+        bounce, init, jnp.arange(1, depth + 1)
+    )
+    return radiance

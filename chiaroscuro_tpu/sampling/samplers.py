@@ -1,0 +1,101 @@
+"""Importance samplers: concentric disk map + cosine-weighted hemisphere.
+
+Branchless (``jnp.where``) reimplementation of the reference's samplers
+(``src/brdf.cpp:10-62``), vectorized over ray batches.  The eight-region
+concentric square->disk map and the tangent-frame construction reproduce the
+reference's math exactly so that renders agree in distribution.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+M_PI = jnp.float32(jnp.pi)
+M_1_PI = jnp.float32(1.0 / jnp.pi)
+
+
+def concentric_sample_disk(u: jnp.ndarray, v: jnp.ndarray):
+    """Map uniforms (u, v) in [0,1)^2 to a uniform point on the unit disk.
+
+    Reference ``concentricSampleDisk`` (``src/brdf.cpp:18-54``): the inputs
+    there are uniforms on [-1,1]^2; we map u,v -> sx,sy = 2u-1, 2v-1.
+    Returns (dx, dy).
+    """
+    sx = 2.0 * u - 1.0
+    sy = 2.0 * v - 1.0
+
+    abs_zero = (sx == 0.0) & (sy == 0.0)
+
+    # Region select (brdf.cpp:31-50). r is never 0 off the degenerate point
+    # within a chosen region, but guard the division anyway.
+    r1 = sx
+    t1 = jnp.where(sy > 0.0, sy / _safe(r1), 8.0 + sy / _safe(r1))
+    r2 = sy
+    t2 = 2.0 - sx / _safe(r2)
+    r3 = -sx
+    t3 = 4.0 - sy / _safe(r3)
+    r4 = -sy
+    t4 = 6.0 + sx / _safe(r4)
+
+    in_12 = sx >= -sy
+    in_1 = sx > sy
+    in_3 = sx <= sy
+
+    r = jnp.where(in_12, jnp.where(in_1, r1, r2), jnp.where(in_3, r3, r4))
+    theta = jnp.where(in_12, jnp.where(in_1, t1, t2), jnp.where(in_3, t3, t4))
+    theta = theta * (M_PI / 4.0)
+
+    dx = jnp.where(abs_zero, 0.0, r * jnp.cos(theta))
+    dy = jnp.where(abs_zero, 0.0, r * jnp.sin(theta))
+    return dx, dy
+
+
+def _safe(x):
+    return jnp.where(x == 0.0, 1.0, x)
+
+
+def cosine_sample_hemisphere(u: jnp.ndarray, v: jnp.ndarray):
+    """Cosine-distributed direction in local (tangent, bitangent, normal)
+    coordinates (``src/brdf.cpp:57-62``). Returns (x, y, z) with z >= 0."""
+    dx, dy = concentric_sample_disk(u, v)
+    dz = jnp.sqrt(jnp.maximum(0.0, 1.0 - dx * dx - dy * dy))
+    return dx, dy, dz
+
+
+def perpendicular(n: jnp.ndarray) -> jnp.ndarray:
+    """A vector perpendicular to n (``src/brdf.cpp:10-15``). n: (..., 3)."""
+    x, y, z = n[..., 0], n[..., 1], n[..., 2]
+    cond = jnp.abs(x) < jnp.abs(y)
+    px = jnp.where(cond, 0.0, -z)
+    py = jnp.where(cond, -z, 0.0)
+    pz = jnp.where(cond, y, x)
+    return jnp.stack([px, py, pz], axis=-1)
+
+
+def _normalize(v: jnp.ndarray) -> jnp.ndarray:
+    return v / _safe(jnp.linalg.norm(v, axis=-1, keepdims=True))
+
+
+def tangent_frame(n: jnp.ndarray):
+    """(tangent, bitangent) as the reference builds them
+    (``src/brdf.cpp:73-74``): tangent = normalize(perpendicular(n)),
+    bitangent = normalize(cross(tangent, n)).  n need not be unit."""
+    tangent = _normalize(perpendicular(n))
+    bitangent = _normalize(jnp.cross(tangent, n))
+    return tangent, bitangent
+
+
+def sample_wi_diffuse(n: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+    """Cosine-weighted hemisphere sample about (possibly non-unit) normal n.
+
+    Returns (wi, pdf) with wi unit and pdf = max(0, dot(n, wi)) / pi computed
+    against the *raw* normal, exactly as ``Diffuse::sample_wi``
+    (``src/brdf.cpp:72-79``).
+    """
+    tangent, bitangent = tangent_frame(n)
+    sx, sy, sz = cosine_sample_hemisphere(u, v)
+    wi = _normalize(
+        sx[..., None] * tangent + sy[..., None] * bitangent + sz[..., None] * n
+    )
+    pdf = jnp.maximum(0.0, jnp.sum(n * wi, axis=-1)) * M_1_PI
+    return wi, pdf

@@ -1,0 +1,141 @@
+"""Render configuration: ``.rtc`` keyword-stream files + CLI overrides.
+
+Reproduces the semantics of the reference scene/config system
+(``src/scene.cpp:13-72``): a ``.rtc`` file is split into one token per
+non-empty line; CLI arguments are appended after the file tokens; the combined
+stream is scanned left-to-right with last-wins assignment.  Lines starting with
+``#`` are comments.  Unrecognized tokens emit a warning and are skipped.
+
+Recognized keys (reference ``src/scene.cpp:17-59``)::
+
+    input <path>           OBJ scene path
+    output <path>          image output path (.exr/.hdr -> HDR, else tone-mapped)
+    k <int>                max path depth (bounces)
+    xres <int> / yres <int>
+    VP <x> <y> <z>         camera position ("view point")
+    LA <x> <y> <z>         camera look-at target
+    UP <x> <y> <z>         camera up vector
+    yview <float>          vertical view extent at z=1 (2*tan(fov_y/2))
+    samples <int>          Monte-Carlo samples per pixel
+    exposure <float>       tone-map exposure for PNG export / preview
+    kdtree-leaf-size <int> acceleration-structure leaf size
+    preview-height <int>   preview window height
+    no-preview             disable the interactive preview
+
+Defaults mirror the reference (``src/scene.cpp:63-65``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+from typing import Sequence, Tuple
+
+Vec3 = Tuple[float, float, float]
+
+
+@dataclasses.dataclass
+class RenderConfig:
+    obj_path: str = ""
+    render_path: str = "renders/output.exr"
+    k: int = 3
+    xres: int = 400
+    yres: int = 300
+    vp: Vec3 = (0.0, 0.0, 2.0)
+    la: Vec3 = (0.0, 0.0, 0.0)
+    up: Vec3 = (0.0, 1.0, 0.0)
+    yview: float = 1.0
+    use_preview: bool = True
+    preview_height: int = 900
+    kdtree_leaf_size: int = 8
+    background: Vec3 = (0.0, 0.0, 0.0)
+    samples: int = 100
+    exposure: float = 5.0
+
+    # --- TPU-framework extensions (not in the reference) -------------------
+    seed: int = 0                    # base PRNG seed (counter-based streams)
+    intersector: str = "auto"        # "brute" | "bvh" | "auto"
+    spp_chunk: int = 0               # render samples in chunks of this size (0 = all at once)
+
+    @classmethod
+    def from_tokens(cls, tokens: Sequence[str]) -> "RenderConfig":
+        """Parse a token stream with last-wins assignment (``scene.cpp:17-59``)."""
+        cfg = cls()
+        i = 0
+        n = len(tokens)
+
+        def take() -> str:
+            nonlocal i
+            i += 1
+            if i >= n:
+                raise ValueError("unexpected end of config token stream")
+            return tokens[i]
+
+        def take_vec3() -> Vec3:
+            return (float(take()), float(take()), float(take()))
+
+        while i < n:
+            tok = tokens[i]
+            if tok.startswith("#"):
+                pass
+            elif tok == "no-preview":
+                cfg.use_preview = False
+            elif tok == "input":
+                cfg.obj_path = take()
+            elif tok == "output":
+                cfg.render_path = take()
+            elif tok == "k":
+                cfg.k = int(take())
+            elif tok == "xres":
+                cfg.xres = int(take())
+            elif tok == "yres":
+                cfg.yres = int(take())
+            elif tok == "VP":
+                cfg.vp = take_vec3()
+            elif tok == "LA":
+                cfg.la = take_vec3()
+            elif tok == "UP":
+                cfg.up = take_vec3()
+            elif tok == "yview":
+                cfg.yview = float(take())
+            elif tok == "preview-height":
+                cfg.preview_height = int(take())
+            elif tok == "samples":
+                cfg.samples = int(take())
+            elif tok == "exposure":
+                cfg.exposure = float(take())
+            elif tok == "kdtree-leaf-size":
+                cfg.kdtree_leaf_size = int(take())
+            # --- extensions ---
+            elif tok == "seed":
+                cfg.seed = int(take())
+            elif tok == "intersector":
+                cfg.intersector = take()
+            elif tok == "spp-chunk":
+                cfg.spp_chunk = int(take())
+            else:
+                print(f'Invalid argument "{tok}"', file=sys.stderr)
+            i += 1
+        return cfg
+
+    @classmethod
+    def from_rtc(cls, path: str, extra_args: Sequence[str] = ()) -> "RenderConfig":
+        """Load an ``.rtc`` file; ``extra_args`` are appended (CLI override).
+
+        The file is split one token per non-empty *line* (``scene.cpp:66-71``);
+        a line starting with ``#`` is one comment token.
+        """
+        tokens = []
+        with open(path) as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if len(line) > 0:
+                    tokens.append(line)
+        tokens.extend(extra_args)
+        return cls.from_tokens(tokens)
+
+    @classmethod
+    def from_argv(cls, argv: Sequence[str]) -> "RenderConfig":
+        """CLI entry parity with the reference: ``main [scene.rtc] [key value ...]``."""
+        rtc = argv[1] if len(argv) > 1 else "cornell.rtc"
+        return cls.from_rtc(rtc, argv[2:])

@@ -1,0 +1,216 @@
+"""SceneArrays: the device-resident, differentiable SoA scene representation.
+
+Replaces the reference's pointer-rich flattened triangle/material vectors
+(``src/kdtree.cpp:34-108``, ``include/kdtree.hpp:15-33``) with a JAX pytree of
+structure-of-arrays tensors.  This pytree IS the differentiable parameter set:
+pixel losses backpropagate into vertex positions (``tri_v0/v1/v2``), material
+colors (``kd``, ``ke``) and texture texels (``tex_data``).
+
+Design notes (TPU-first):
+- All hot lookups are gathers from flat arrays indexed by triangle id —
+  XLA-native, fusable, and differentiable — instead of virtual dispatch over
+  heap BRDF objects (``src/rayTracer.cpp:159-166``).
+- Textures of arbitrary sizes are packed into one flat ``(n_texels, 3)``
+  buffer with per-texture (offset, width, height), so a single gather serves
+  every texture without padding waste.
+- Per-triangle ``normal`` is the *mean of the three vertex normals, not
+  re-normalized*, exactly as the reference stores it (``src/kdtree.cpp:58-60``)
+  — required for allclose parity (the integrator's cosine terms use it raw).
+- Static (non-traced) metadata lives in meta fields: triangle/light counts,
+  config, texture table sizes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+from chiaroscuro_tpu.scene.config import RenderConfig
+from chiaroscuro_tpu.scene.obj_loader import Mesh, load_obj, load_texture
+
+BRDF_DIFFUSE = 0
+BRDF_EMISSIVE = 1
+
+
+@dataclasses.dataclass
+class SceneArrays:
+    # --- geometry (differentiable) ---
+    tri_v0: jax.Array  # (T, 3) f32 triangle corner positions
+    tri_v1: jax.Array  # (T, 3)
+    tri_v2: jax.Array  # (T, 3)
+    normal: jax.Array  # (T, 3) mean-of-vertex-normals, NOT unit (kdtree.cpp:58-60)
+
+    # --- material params (differentiable) ---
+    kd: jax.Array      # (T, 3) diffuse albedo
+    ke: jax.Array      # (T, 3) emitted radiance
+    brdf_type: jax.Array  # (T,) int32: BRDF_DIFFUSE | BRDF_EMISSIVE
+
+    # --- texturing ---
+    uv0: jax.Array     # (T, 2) per-corner texcoords (post-FlipUVs)
+    uv1: jax.Array     # (T, 2)
+    uv2: jax.Array     # (T, 2)
+    tex_id: jax.Array  # (T,) int32 index into texture table, -1 = untextured
+    tex_data: jax.Array    # (n_texels, 3) f32 flat texel buffer (differentiable)
+    tex_offset: jax.Array  # (n_tex,) int32 start offset into tex_data
+    tex_width: jax.Array   # (n_tex,) int32
+    tex_height: jax.Array  # (n_tex,) int32
+
+    # --- area lights (emissive triangles, kdtree.cpp:72-77) ---
+    light_ids: jax.Array    # (L,) int32 triangle ids (L >= 1; dummy if no lights)
+    light_areas: jax.Array  # (L,) f32 triangle surface areas
+
+    # --- world bounds (kdtree.cpp:106-107, padded by 1e-4) ---
+    world_min: jax.Array  # (3,) f32
+    world_max: jax.Array  # (3,) f32
+
+    # --- static metadata (not traced) ---
+    n_tris: int = dataclasses.field(metadata=dict(static=True), default=0)
+    n_lights: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+    @property
+    def has_lights(self) -> bool:
+        return self.n_lights > 0
+
+
+jax.tree_util.register_dataclass(
+    SceneArrays,
+    data_fields=[
+        "tri_v0", "tri_v1", "tri_v2", "normal",
+        "kd", "ke", "brdf_type",
+        "uv0", "uv1", "uv2", "tex_id",
+        "tex_data", "tex_offset", "tex_width", "tex_height",
+        "light_ids", "light_areas", "world_min", "world_max",
+    ],
+    meta_fields=["n_tris", "n_lights"],
+)
+
+
+def triangle_areas(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> np.ndarray:
+    """0.5 * |cross(v1-v0, v2-v0)| (reference ``kdtree.cpp:72-77``)."""
+    return 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=-1)
+
+
+def build_scene_arrays(
+    meshes: Sequence[Mesh],
+    textures: Optional[Dict[str, np.ndarray]] = None,
+    device_put: bool = True,
+) -> SceneArrays:
+    """Flatten meshes into the SoA pytree (reference ``kdtree.cpp:34-108``).
+
+    ``textures`` maps texture path -> (H, W, 3) float32 array; when None,
+    each mesh's ``texture_diffuse`` path is decoded from disk.
+    """
+    if textures is None:
+        textures = {}
+        for m in meshes:
+            if m.texture_diffuse and m.texture_diffuse not in textures:
+                textures[m.texture_diffuse] = load_texture(m.texture_diffuse)
+
+    # Texture table: dedup by path, pack into a flat texel buffer.
+    tex_paths: List[str] = []
+    tex_index: Dict[str, int] = {}
+    for m in meshes:
+        if m.texture_diffuse and m.texture_diffuse in textures:
+            if m.texture_diffuse not in tex_index:
+                tex_index[m.texture_diffuse] = len(tex_paths)
+                tex_paths.append(m.texture_diffuse)
+
+    offsets, widths, heights, blobs = [], [], [], []
+    cursor = 0
+    for p in tex_paths:
+        img = np.asarray(textures[p], dtype=np.float32)
+        h, w = img.shape[:2]
+        offsets.append(cursor)
+        widths.append(w)
+        heights.append(h)
+        blobs.append(img.reshape(-1, 3))
+        cursor += h * w
+    if not blobs:  # keep shapes non-empty for jit friendliness
+        offsets, widths, heights = [0], [1], [1]
+        blobs = [np.zeros((1, 3), np.float32)]
+
+    v0s, v1s, v2s, nrms, kds, kes, types = [], [], [], [], [], [], []
+    uv0s, uv1s, uv2s, tids = [], [], [], []
+    light_ids, light_areas = [], []
+    tri_base = 0
+    for m in meshes:
+        idx = m.indices
+        p = m.positions
+        n = m.normals
+        uv = m.uvs
+        i0, i1, i2 = idx[:, 0], idx[:, 1], idx[:, 2]
+        nt = len(idx)
+        v0s.append(p[i0]); v1s.append(p[i1]); v2s.append(p[i2])
+        nrms.append((n[i0] + n[i1] + n[i2]) / 3.0)
+        uv0s.append(uv[i0]); uv1s.append(uv[i1]); uv2s.append(uv[i2])
+        kds.append(np.broadcast_to(m.diffuse, (nt, 3)))
+        kes.append(np.broadcast_to(m.emissive, (nt, 3)))
+        is_light = m.is_light
+        types.append(
+            np.full(nt, BRDF_EMISSIVE if is_light else BRDF_DIFFUSE, np.int32)
+        )
+        tid = tex_index.get(m.texture_diffuse, -1) if m.texture_diffuse else -1
+        tids.append(np.full(nt, tid, np.int32))
+        if is_light:
+            areas = triangle_areas(p[i0], p[i1], p[i2])
+            light_ids.extend(range(tri_base, tri_base + nt))
+            light_areas.extend(areas.tolist())
+        tri_base += nt
+
+    tri_v0 = np.concatenate(v0s).astype(np.float32)
+    tri_v1 = np.concatenate(v1s).astype(np.float32)
+    tri_v2 = np.concatenate(v2s).astype(np.float32)
+    n_tris = len(tri_v0)
+    n_lights = len(light_ids)
+    if n_lights == 0:
+        light_ids, light_areas = [0], [0.0]
+
+    all_pts = np.concatenate([tri_v0, tri_v1, tri_v2])
+    world_min = all_pts.min(axis=0) - 1.0e-4  # kdtree.cpp:106-107
+    world_max = all_pts.max(axis=0) + 1.0e-4
+
+    put = jnp.asarray if device_put else np.asarray
+    return SceneArrays(
+        tri_v0=put(tri_v0),
+        tri_v1=put(tri_v1),
+        tri_v2=put(tri_v2),
+        normal=put(np.concatenate(nrms).astype(np.float32)),
+        kd=put(np.concatenate(kds).astype(np.float32)),
+        ke=put(np.concatenate(kes).astype(np.float32)),
+        brdf_type=put(np.concatenate(types)),
+        uv0=put(np.concatenate(uv0s).astype(np.float32)),
+        uv1=put(np.concatenate(uv1s).astype(np.float32)),
+        uv2=put(np.concatenate(uv2s).astype(np.float32)),
+        tex_id=put(np.concatenate(tids)),
+        tex_data=put(np.concatenate(blobs).astype(np.float32)),
+        tex_offset=put(np.asarray(offsets, np.int32)),
+        tex_width=put(np.asarray(widths, np.int32)),
+        tex_height=put(np.asarray(heights, np.int32)),
+        light_ids=put(np.asarray(light_ids, np.int32)),
+        light_areas=put(np.asarray(light_areas, np.float32)),
+        world_min=put(world_min.astype(np.float32)),
+        world_max=put(world_max.astype(np.float32)),
+        n_tris=n_tris,
+        n_lights=n_lights,
+    )
+
+
+def load_scene(cfg: RenderConfig, **obj_kwargs) -> SceneArrays:
+    """Config -> meshes -> SceneArrays (reference Scene+Model+KDTree flatten)."""
+    meshes = load_obj(cfg.obj_path, **obj_kwargs)
+    scene = build_scene_arrays(meshes)
+    _log_scene(scene)
+    return scene
+
+
+def _log_scene(scene: SceneArrays) -> None:
+    # Parity with the reference's scene statistics banner (kdtree.cpp:91-104).
+    print(f"Triangles in scene: {scene.n_tris}")
+    print(
+        "Surface Lights in scene:"
+        + (f" {scene.n_lights}" if scene.n_lights else " None.")
+    )

@@ -1,0 +1,134 @@
+"""Tone map, image I/O, and checkpoint tests."""
+
+import numpy as np
+import pytest
+
+from chiaroscuro_tpu.render.image_io import read_exr, write_exr, write_image
+from chiaroscuro_tpu.render.tonemap import find_knee_f, normalize_image
+from chiaroscuro_tpu.utils.checkpoint import AccumulationState, resume_or_fresh
+
+
+def _ref_transform(x, exposure, defog=0.0, knee_low=0.0, knee_high=5.0, gamma=2.2):
+    """Scalar port of the reference transform for cross-checking."""
+    import math
+
+    m = 2.0 ** (exposure + 2.47393)
+    s = 255.0 * 2.0 ** (-3.5 * gamma)
+    kl = 2.0**knee_low
+    f = find_knee_f(2.0**knee_high, 2.0**3.5 - kl)
+    x = max(0.0, x - defog) * m
+    if x > kl:
+        x = kl + math.log((x - kl) * f + 1.0) / f
+    return min(max(x**gamma * s, 0.0), 255.0)
+
+
+def test_find_knee_f_solves():
+    import math
+
+    kl = 1.0
+    y = 2.0**3.5 - kl
+    f = find_knee_f(2.0**5, y)
+    assert abs(math.log((2.0**5) * f + 1.0) / f - y) < 1e-4
+
+
+def test_normalize_matches_scalar_reference():
+    vals = np.array([0.0, 1e-4, 0.01, 0.05, 0.2, 1.0, 5.0, 100.0], np.float32)
+    img = vals.reshape(2, 4, 1).repeat(3, axis=2)
+    out = normalize_image(img, exposure=5.0)
+    for v, o in zip(vals, out.reshape(-1, 3)[:, 0]):
+        assert abs(int(o) - int(_ref_transform(float(v), 5.0))) <= 1
+
+
+def test_normalize_monotone_and_bounded():
+    img = np.linspace(0, 50, 256, dtype=np.float32).reshape(16, 16, 1).repeat(3, 2)
+    out = normalize_image(img, exposure=0.0)
+    flat = out.reshape(-1, 3)[:, 0].astype(int)
+    assert (np.diff(flat) >= 0).all()
+    assert out.min() >= 0 and out.max() <= 255
+
+
+def test_exr_roundtrip(tmp_path):
+    img = np.random.default_rng(0).uniform(0, 30, (7, 5, 3)).astype(np.float32)
+    p = str(tmp_path / "t.exr")
+    write_exr(p, img)
+    back = read_exr(p)
+    np.testing.assert_allclose(back, img, rtol=1e-3)  # half-float storage
+
+
+def test_write_image_png(tmp_path):
+    img = np.random.default_rng(0).uniform(0, 1, (8, 6, 3)).astype(np.float32)
+    p = str(tmp_path / "t.png")
+    write_image(p, img, exposure=5.0)
+    from PIL import Image
+
+    arr = np.asarray(Image.open(p))
+    assert arr.shape == (8, 6, 3)
+    np.testing.assert_array_equal(arr, normalize_image(img, 5.0))
+
+
+def test_read_reference_golden_exr(reference_renders_dir):
+    """Our EXR reader handles the reference's PIZ-compressed goldens.
+
+    The golden itself contains a handful of NaN pixels (reference renderer
+    artifacts) — tolerate them.
+    """
+    img = read_exr(f"{reference_renders_dir}/cornell_box.exr")
+    assert img.shape == (600, 600, 3)
+    finite = np.isfinite(img)
+    assert finite.mean() > 0.9999
+    assert np.nanmax(img) > 1.0
+
+
+def test_exr_python_fallback_roundtrip(tmp_path):
+    """The pure-Python uncompressed writer is readable by the native reader
+    and by the fallback reader."""
+    from chiaroscuro_tpu.render import image_io
+
+    img = np.random.default_rng(1).uniform(0, 4, (5, 9, 3)).astype(np.float32)
+    p = str(tmp_path / "py.exr")
+    image_io._write_exr_py(p, img)
+    np.testing.assert_allclose(image_io._read_exr_py(p), img, rtol=1e-3)
+    np.testing.assert_allclose(image_io.read_exr(p), img, rtol=1e-3)
+
+
+def test_hdr_roundtrip(tmp_path):
+    from chiaroscuro_tpu.render.image_io import read_hdr, write_hdr
+
+    img = np.random.default_rng(2).uniform(0, 20, (6, 4, 3)).astype(np.float32)
+    p = str(tmp_path / "t.hdr")
+    write_hdr(p, img)
+    back = read_hdr(p)
+    # RGBE quantizes with an 8-bit mantissa shared across channels: absolute
+    # error bounded by (pixel max) / 256 per channel.
+    bound = img.max(axis=-1, keepdims=True) / 256.0 + 1e-4
+    assert (np.abs(back - img) <= bound).all()
+
+
+def test_read_reference_golden_hdr(reference_renders_dir):
+    from chiaroscuro_tpu.render.image_io import read_hdr
+
+    img = read_hdr(f"{reference_renders_dir}/sponza_crytek_3000_samples.hdr")
+    assert img.ndim == 3 and img.shape[2] == 3
+    assert np.isfinite(img).all() and img.max() > 0.1
+
+
+def test_accumulation_state_roundtrip(tmp_path):
+    cam = ((0, 1, 2), (0, 0, 0), (0, 1, 0), 1.0)
+    st = AccumulationState.fresh(4, 6, 16, cam, seed=7)
+    layer = np.full((4, 6, 3), 2.0, np.float32)
+    st.add_layer(layer)
+    st.add_layer(layer * 2)
+    np.testing.assert_allclose(st.pixels, 3.0)
+    assert st.total_samples == 32
+
+    p = str(tmp_path / "acc.npz")
+    st.save(p)
+    st2 = AccumulationState.load(p)
+    np.testing.assert_allclose(st2.pixels, st.pixels)
+    assert st2.layers == 2 and st2.seed == 7
+
+    # Resume honors camera compatibility.
+    st3 = resume_or_fresh(p, 4, 6, 16, cam, 7)
+    assert st3.layers == 2
+    st4 = resume_or_fresh(p, 4, 6, 16, ((9, 9, 9), (0, 0, 0), (0, 1, 0), 1.0), 7)
+    assert st4.layers == 0
