@@ -62,4 +62,9 @@ def make_intersectors(
         bvh = build_bvh(scene)
         return make_bvh_intersectors(scene, bvh)
 
+    if method == "pallas":
+        from chiaroscuro_tpu.ops.intersect_pallas import make_pallas_intersectors
+
+        return make_pallas_intersectors(scene)
+
     raise ValueError(f"unknown intersector method: {method!r}")

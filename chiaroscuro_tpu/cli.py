@@ -14,11 +14,26 @@ from typing import Optional, Sequence
 def main(argv: Optional[Sequence[str]] = None) -> int:
     argv = list(sys.argv if argv is None else argv)
 
-    from chiaroscuro_tpu.render.renderer import Renderer
     from chiaroscuro_tpu.scene.config import RenderConfig
-    from chiaroscuro_tpu.scene.scene_arrays import load_scene
 
     cfg = RenderConfig.from_argv(argv)
+    if cfg.platform:
+        import jax
+
+        jax.config.update("jax_platforms", cfg.platform)
+
+    from chiaroscuro_tpu.render.renderer import Renderer
+    from chiaroscuro_tpu.scene.scene_arrays import load_scene
+
+    # Point-light banner parity (kdtree.cpp:99-104); like the reference,
+    # point lights are preview-only and never used by the path integrator.
+    if cfg.light_points:
+        print("Point Lights in scene:")
+        for lp in cfg.light_points:
+            print(
+                f"Position {lp.position} of color {lp.color} "
+                f"and intesity {lp.intensity}"
+            )
     scene = load_scene(cfg)
     renderer = Renderer(scene, cfg)
 

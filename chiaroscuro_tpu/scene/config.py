@@ -34,6 +34,24 @@ from typing import Sequence, Tuple
 Vec3 = Tuple[float, float, float]
 
 
+KEYWORDS = {
+    "no-preview", "input", "output", "k", "xres", "yres", "VP", "LA", "UP",
+    "yview", "preview-height", "samples", "exposure", "kdtree-leaf-size",
+    "seed", "intersector", "spp-chunk", "platform",
+}
+
+
+@dataclasses.dataclass
+class LightPoint:
+    """Legacy point light (reference ``scene.hpp:11-16`` — dead code there:
+    the reference parser has no ``L`` branch, SURVEY.md §3.3).  We support it
+    as an extension so the reference's legacy ``.rtc`` files load."""
+
+    position: Vec3
+    color: Vec3
+    intensity: float
+
+
 @dataclasses.dataclass
 class RenderConfig:
     obj_path: str = ""
@@ -54,13 +72,18 @@ class RenderConfig:
 
     # --- TPU-framework extensions (not in the reference) -------------------
     seed: int = 0                    # base PRNG seed (counter-based streams)
-    intersector: str = "auto"        # "brute" | "bvh" | "auto"
+    intersector: str = "auto"        # "brute" | "bvh" | "pallas" | "auto"
     spp_chunk: int = 0               # render samples in chunks of this size (0 = all at once)
+    platform: str = ""               # force a jax platform ("cpu"/"tpu"; "" = default)
+    light_points: list = dataclasses.field(default_factory=list)  # [LightPoint]
 
     @classmethod
     def from_tokens(cls, tokens: Sequence[str]) -> "RenderConfig":
         """Parse a token stream with last-wins assignment (``scene.cpp:17-59``)."""
-        cfg = cls()
+        return cls._apply_tokens(cls(), tokens)
+
+    @classmethod
+    def _apply_tokens(cls, cfg: "RenderConfig", tokens: Sequence[str]) -> "RenderConfig":
         i = 0
         n = len(tokens)
 
@@ -113,6 +136,8 @@ class RenderConfig:
                 cfg.intersector = take()
             elif tok == "spp-chunk":
                 cfg.spp_chunk = int(take())
+            elif tok == "platform":
+                cfg.platform = take()
             else:
                 print(f'Invalid argument "{tok}"', file=sys.stderr)
             i += 1
@@ -124,15 +149,56 @@ class RenderConfig:
 
         The file is split one token per non-empty *line* (``scene.cpp:66-71``);
         a line starting with ``#`` is one comment token.
+
+        Extension: the reference's *legacy positional* format (shipped in
+        ``nanosuit.rtc`` / ``view_test.rtc`` but unparseable by the reference
+        itself — SURVEY.md quirk 3) is auto-detected and parsed, including
+        ``L x y z r g b intensity`` point-light lines.
         """
-        tokens = []
+        lines = []
         with open(path) as f:
             for line in f:
                 line = line.rstrip("\n")
                 if len(line) > 0:
-                    tokens.append(line)
-        tokens.extend(extra_args)
+                    lines.append(line)
+
+        content = [l for l in lines if not l.lstrip().startswith("#")]
+        if content and content[0].strip() not in KEYWORDS:
+            cfg = cls._from_legacy_lines(content)
+            # CLI overrides still apply on top.
+            return cls._apply_tokens(cfg, list(extra_args))
+
+        tokens = lines + list(extra_args)
         return cls.from_tokens(tokens)
+
+    @classmethod
+    def _from_legacy_lines(cls, content) -> "RenderConfig":
+        """Positional format: obj, output, k, 'xres yres', VP, LA, UP,
+        yview, then zero or more 'L x y z r g b intensity' lines."""
+        cfg = cls()
+        fields = [l.split() for l in content]
+        try:
+            cfg.obj_path = content[0].strip()
+            cfg.render_path = content[1].strip()
+            cfg.k = int(fields[2][0])
+            cfg.xres, cfg.yres = int(fields[3][0]), int(fields[3][1])
+            cfg.vp = tuple(float(x) for x in fields[4][:3])
+            cfg.la = tuple(float(x) for x in fields[5][:3])
+            cfg.up = tuple(float(x) for x in fields[6][:3])
+            cfg.yview = float(fields[7][0])
+        except (IndexError, ValueError) as e:
+            raise ValueError(f"malformed legacy .rtc: {e}") from e
+        for f in fields[8:]:
+            if f and f[0] == "L":
+                vals = [float(x) for x in f[1:8]]
+                cfg.light_points.append(
+                    LightPoint(
+                        position=tuple(vals[0:3]),
+                        color=tuple(vals[3:6]),
+                        intensity=vals[6],
+                    )
+                )
+        return cfg
 
     @classmethod
     def from_argv(cls, argv: Sequence[str]) -> "RenderConfig":

@@ -200,8 +200,20 @@ def build_scene_arrays(
 
 
 def load_scene(cfg: RenderConfig, **obj_kwargs) -> SceneArrays:
-    """Config -> meshes -> SceneArrays (reference Scene+Model+KDTree flatten)."""
-    meshes = load_obj(cfg.obj_path, **obj_kwargs)
+    """Config -> meshes -> SceneArrays (reference Scene+Model+KDTree flatten).
+
+    ``input`` paths of the form ``builtin:<name>`` resolve to the programmatic
+    scenes in :mod:`chiaroscuro_tpu.scene.builtin` (e.g. ``builtin:cornell_box``,
+    ``builtin:cornell_box_original``) — needed because the reference's own
+    ``cornell.rtc`` points at an OBJ that was never shipped (SURVEY.md C15).
+    """
+    if cfg.obj_path.startswith("builtin:"):
+        from chiaroscuro_tpu.scene import builtin
+
+        name = cfg.obj_path.split(":", 1)[1]
+        meshes = getattr(builtin, name)()
+    else:
+        meshes = load_obj(cfg.obj_path, **obj_kwargs)
     scene = build_scene_arrays(meshes)
     _log_scene(scene)
     return scene

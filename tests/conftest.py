@@ -69,3 +69,7 @@ def cornell_scene():
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(1234)
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running render tests")

@@ -1,0 +1,92 @@
+"""Pallas intersection kernels vs the brute-force oracle.
+
+On non-TPU hosts the kernels run in interpreter mode (`interpret=True`), so
+these tests validate kernel *semantics* everywhere; the TPU-compiled path is
+exercised by bench.py and the TPU smoke script.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chiaroscuro_tpu.geometry.intersect import (
+    intersect_any_bruteforce,
+    intersect_closest_bruteforce,
+)
+from chiaroscuro_tpu.ops.intersect_pallas import make_pallas_intersectors
+from chiaroscuro_tpu.scene.builtin import cornell_box
+from chiaroscuro_tpu.scene.scene_arrays import build_scene_arrays
+
+
+@pytest.fixture(scope="module")
+def setup(rng=None):
+    scene = build_scene_arrays(cornell_box())
+    closest_fn, any_fn = make_pallas_intersectors(scene)
+    return scene, closest_fn, any_fn
+
+
+def _rays(scene, rng, n):
+    lo = np.asarray(scene.world_min)
+    hi = np.asarray(scene.world_max)
+    o = rng.uniform(lo - 0.1 * (hi - lo), hi + 0.1 * (hi - lo), (n, 3))
+    d = rng.normal(size=(n, 3))
+    return jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32)
+
+
+def test_pallas_closest_matches_oracle(setup, rng):
+    scene, closest_fn, _ = setup
+    o, d = _rays(scene, rng, 300)  # non-multiple of RAY_TILE: tests padding
+    ph, pt, ptid, pu, pv = closest_fn(o, d)
+    oh, ot, otid, ou, ov = intersect_closest_bruteforce(
+        o, d, scene.tri_v0, scene.tri_v1, scene.tri_v2
+    )
+    np.testing.assert_array_equal(np.asarray(ph), np.asarray(oh))
+    hit = np.asarray(oh)
+    np.testing.assert_allclose(
+        np.asarray(pt)[hit], np.asarray(ot)[hit], rtol=1e-6
+    )
+    same = np.asarray(ptid)[hit] == np.asarray(otid)[hit]
+    ties = np.isclose(np.asarray(pt)[hit], np.asarray(ot)[hit], rtol=1e-6)
+    assert (same | ties).all()
+    np.testing.assert_allclose(
+        np.asarray(pu)[hit][same], np.asarray(ou)[hit][same], rtol=1e-5,
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pv)[hit][same], np.asarray(ov)[hit][same], rtol=1e-5,
+        atol=1e-6,
+    )
+
+
+def test_pallas_any_matches_oracle(setup, rng):
+    scene, _, any_fn = setup
+    o, d = _rays(scene, rng, 300)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    tmax = jnp.asarray(rng.uniform(10, 1200, 300), jnp.float32)
+    excl = jnp.asarray(rng.integers(0, scene.n_tris, 300), jnp.int32)
+    p = any_fn(o, d, tmax, excl)
+    ref = intersect_any_bruteforce(
+        o, d, scene.tri_v0, scene.tri_v1, scene.tri_v2, tmax, excl
+    )
+    np.testing.assert_array_equal(np.asarray(p), np.asarray(ref))
+
+
+def test_pallas_render_matches_brute(setup):
+    from chiaroscuro_tpu.accel.dispatch import make_intersectors
+    from chiaroscuro_tpu.render.renderer import render_image
+    from chiaroscuro_tpu.scene.builtin import CORNELL_CAMERA
+    from chiaroscuro_tpu.scene.config import RenderConfig
+
+    scene, closest_fn, any_fn = setup
+    cam = CORNELL_CAMERA
+    cfg = RenderConfig(
+        xres=8, yres=8, k=2, samples=2, seed=0,
+        vp=cam["eye"], la=cam["center"], up=cam["up"], yview=cam["yview"],
+    )
+    brute = np.asarray(
+        render_image(scene, cfg, intersectors=make_intersectors(scene, "brute"))
+    )
+    pall = np.asarray(
+        render_image(scene, cfg, intersectors=(closest_fn, any_fn))
+    )
+    np.testing.assert_allclose(pall, brute, rtol=1e-5, atol=1e-6)
