@@ -33,7 +33,17 @@ def make_intersectors(
     scene: SceneArrays, method: str = "auto", chunk: int = 2048
 ) -> Tuple[ClosestFn, AnyFn]:
     if method == "auto":
-        method = "bvh" if scene.n_tris > AUTO_BVH_THRESHOLD else "brute"
+        import jax
+
+        if scene.n_tris > AUTO_BVH_THRESHOLD:
+            method = "bvh"
+        elif jax.default_backend() == "tpu":
+            # Dense VMEM-resident sweep beats XLA's HBM-bound formulation
+            # on-chip (measured: 8.3 vs 5.9 Mray/s at 512-chunk, ~4x more
+            # after lane-aligned chunking).
+            method = "pallas"
+        else:
+            method = "brute"
 
     if method == "brute":
         def closest_fn(origins, dirs) -> ClosestHit:

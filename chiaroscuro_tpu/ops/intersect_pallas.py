@@ -41,7 +41,16 @@ FLT_EPS = np.float32(np.finfo(np.float32).eps)
 BIG = np.float32(3.0e38)
 
 RAY_TILE = 256
-TRI_CHUNK = 512
+MAX_TRI_CHUNK = 512          # VMEM working-set cap per inner iteration
+LANE = 128                   # TPU minor-dim alignment
+
+
+def _tri_chunk_for(n_tris: int) -> int:
+    """Smallest lane-aligned chunk covering the scene, capped: tiny scenes
+    (cornell: 36 tris) pad to one 128-wide chunk instead of 512 — a 4x
+    useful-work ratio improvement measured on-chip."""
+    aligned = -(-max(n_tris, 1) // LANE) * LANE
+    return min(MAX_TRI_CHUNK, aligned)
 
 
 def _pad_rays(x, tile):
@@ -109,8 +118,8 @@ def _mt_block(o, d, tri):
     return ok, t, u, v
 
 
-def _closest_kernel(o_ref, d_ref, tri_ref, t_ref, id_ref, u_ref, v_ref):
-    C = TRI_CHUNK
+def _closest_kernel(o_ref, d_ref, tri_ref, t_ref, id_ref, u_ref, v_ref, *, chunk):
+    C = chunk
     n_chunks = tri_ref.shape[1] // C
 
     o = (o_ref[:, 0:1], o_ref[:, 1:2], o_ref[:, 2:3])
@@ -154,8 +163,8 @@ def _closest_kernel(o_ref, d_ref, tri_ref, t_ref, id_ref, u_ref, v_ref):
     v_ref[:, :] = best_v
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def _closest_call(origins, dirs, tri_soa, interpret=False):
+@partial(jax.jit, static_argnames=("chunk", "interpret"))
+def _closest_call(origins, dirs, tri_soa, chunk, interpret=False):
     R = origins.shape[0]
     n_tiles = R // RAY_TILE
     grid = (n_tiles,)
@@ -172,7 +181,7 @@ def _closest_call(origins, dirs, tri_soa, interpret=False):
         (RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
-        _closest_kernel,
+        partial(_closest_kernel, chunk=chunk),
         grid=grid,
         out_shape=out_shape,
         in_specs=[
@@ -185,8 +194,8 @@ def _closest_call(origins, dirs, tri_soa, interpret=False):
     )(origins, dirs, tri_soa)
 
 
-def _any_kernel(o_ref, d_ref, tmax_ref, excl_ref, tri_ref, occ_ref):
-    C = TRI_CHUNK
+def _any_kernel(o_ref, d_ref, tmax_ref, excl_ref, tri_ref, occ_ref, *, chunk):
+    C = chunk
     n_chunks = tri_ref.shape[1] // C
 
     o = (o_ref[:, 0:1], o_ref[:, 1:2], o_ref[:, 2:3])
@@ -207,8 +216,8 @@ def _any_kernel(o_ref, d_ref, tmax_ref, excl_ref, tri_ref, occ_ref):
     occ_ref[:, :] = occ
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def _any_call(origins, dirs, tmax, excl, tri_soa, interpret=False):
+@partial(jax.jit, static_argnames=("chunk", "interpret"))
+def _any_call(origins, dirs, tmax, excl, tri_soa, chunk, interpret=False):
     R = origins.shape[0]
     grid = (R // RAY_TILE,)
     ray_spec = pl.BlockSpec(
@@ -218,7 +227,7 @@ def _any_call(origins, dirs, tmax, excl, tri_soa, interpret=False):
         (RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
-        _any_kernel,
+        partial(_any_kernel, chunk=chunk),
         grid=grid,
         out_shape=jax.ShapeDtypeStruct((R, 1), jnp.bool_),
         in_specs=[
@@ -243,13 +252,14 @@ def make_pallas_intersectors(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    tri_soa, _ = _prep_tris(scene.tri_v0, scene.tri_v1, scene.tri_v2, TRI_CHUNK)
+    chunk = _tri_chunk_for(scene.n_tris)
+    tri_soa, _ = _prep_tris(scene.tri_v0, scene.tri_v1, scene.tri_v2, chunk)
 
     def closest_fn(origins, dirs) -> ClosestHit:
         R = origins.shape[0]
         o = _pad_rays(origins, RAY_TILE)
         d = _pad_rays(dirs, RAY_TILE)
-        t, tid, u, v = _closest_call(o, d, tri_soa, interpret=interpret)
+        t, tid, u, v = _closest_call(o, d, tri_soa, chunk, interpret=interpret)
         t = t[:R, 0]
         return ClosestHit(t < BIG, t, tid[:R, 0], u[:R, 0], v[:R, 0])
 
@@ -259,7 +269,7 @@ def make_pallas_intersectors(
         d = _pad_rays(dirs, RAY_TILE)
         tm = _pad_rays(tmax.reshape(-1, 1), RAY_TILE)
         ex = _pad_rays(exclude_id.reshape(-1, 1).astype(jnp.int32), RAY_TILE)
-        occ = _any_call(o, d, tm, ex, tri_soa, interpret=interpret)
+        occ = _any_call(o, d, tm, ex, tri_soa, chunk, interpret=interpret)
         return occ[:R, 0]
 
     return closest_fn, any_fn

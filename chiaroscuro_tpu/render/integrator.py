@@ -37,8 +37,18 @@ import jax.numpy as jnp
 
 from chiaroscuro_tpu.geometry.intersect import AnyFn, ClosestFn, ClosestHit  # noqa: F401
 from chiaroscuro_tpu.sampling import prng
-from chiaroscuro_tpu.sampling.samplers import M_1_PI, sample_wi_diffuse
-from chiaroscuro_tpu.scene.scene_arrays import BRDF_EMISSIVE, SceneArrays
+from chiaroscuro_tpu.sampling.samplers import (
+    M_1_PI,
+    phong_pdf,
+    reflect,
+    sample_phong_lobe,
+    sample_wi_diffuse,
+)
+from chiaroscuro_tpu.scene.scene_arrays import (
+    BRDF_EMISSIVE,
+    BRDF_PHONG,
+    SceneArrays,
+)
 
 EPS_OFFSET = jnp.float32(1.0e-3)  # rayTracer.cpp:104,130
 
@@ -52,23 +62,24 @@ def _normalize(v):
     return v / jnp.where(n == 0.0, 1.0, n)
 
 
-def texture_kd_lookup(scene: SceneArrays, tid, u, v):
-    """Diffuse albedo at a hit: nearest-texel fetch with repeat wrap, or the
-    material Kd when untextured (``rayTracer.cpp:153-157``, ``mesh.cpp:21-35``).
-
-    Wrap semantics mirror the reference's while-loop wrap: fractional part,
-    except exactly-integral coords > 0 map to 1.0 (then clamped to the last
-    texel — the reference reads out of bounds there; we clamp, a conscious
-    divergence documented in SURVEY.md §7).
-    """
+def _interp_uv(scene: SceneArrays, tid, u, v):
     w = 1.0 - u - v
-    uv = (
+    return (
         scene.uv0[tid] * w[..., None]
         + scene.uv1[tid] * u[..., None]
         + scene.uv2[tid] * v[..., None]
     )
 
-    tex_id = scene.tex_id[tid]
+
+def _atlas_fetch(scene: SceneArrays, tex_id, uv, fallback):
+    """Nearest-texel fetch with repeat wrap from the flat atlas, or
+    ``fallback`` where ``tex_id < 0``.
+
+    Wrap semantics mirror the reference's while-loop wrap (``mesh.cpp:21-35``):
+    fractional part, except exactly-integral coords > 0 map to 1.0 (then
+    clamped to the last texel — the reference reads out of bounds there; we
+    clamp, a conscious divergence documented in SURVEY.md §7).
+    """
     safe_id = jnp.maximum(tex_id, 0)
     tw = scene.tex_width[safe_id]
     th = scene.tex_height[safe_id]
@@ -81,8 +92,22 @@ def texture_kd_lookup(scene: SceneArrays, tid, u, v):
     x = jnp.minimum((wrap(uv[..., 0]) * tw).astype(jnp.int32), tw - 1)
     y = jnp.minimum((wrap(uv[..., 1]) * th).astype(jnp.int32), th - 1)
     texel = scene.tex_data[off + y * tw + x]
+    return jnp.where((tex_id >= 0)[..., None], texel, fallback)
 
-    return jnp.where((tex_id >= 0)[..., None], texel, scene.kd[tid])
+
+def texture_kd_lookup(scene: SceneArrays, tid, u, v):
+    """Diffuse albedo at a hit (``rayTracer.cpp:153-157``)."""
+    return _atlas_fetch(
+        scene, scene.tex_id[tid], _interp_uv(scene, tid, u, v), scene.kd[tid]
+    )
+
+
+def texture_ks_lookup(scene: SceneArrays, tid, u, v):
+    """Specular reflectance at a hit (Phong extension; the reference loads
+    specular maps but uses them only in its raster preview, ``mesh.cpp:54-62``)."""
+    return _atlas_fetch(
+        scene, scene.tex_id_ks[tid], _interp_uv(scene, tid, u, v), scene.ks[tid]
+    )
 
 
 def trace_paths(
@@ -121,6 +146,21 @@ def trace_paths(
         wo = _normalize(origin - point)
         kd = texture_kd_lookup(scene, tid, bu, bv)
         f_brdf = kd * M_1_PI  # Diffuse::f (brdf.cpp:70)
+
+        if scene.has_specular:
+            # Phong extension state (never active in reference-parity mode).
+            is_phong = scene.brdf_type[tid] == BRDF_PHONG
+            ks = texture_ks_lookup(scene, tid, bu, bv)
+            ns = scene.shininess[tid]
+            n_unit = _normalize(normal)
+            wr = reflect(wo, n_unit)
+            spec_norm = (ns + 2.0) * (0.5 * M_1_PI)
+
+            def phong_f(wi_dir):
+                """Full BRDF value f(wi, wo) = Kd/pi + Ks (ns+2)/2pi cos^ns."""
+                cos_r = jnp.maximum(0.0, _dot(wr, wi_dir))
+                spec = ks * (spec_norm * jnp.power(cos_r, ns))[:, None]
+                return f_brdf + jnp.where(is_phong[:, None], spec, 0.0)
 
         emitted = jnp.where(
             (scene.brdf_type[tid] == BRDF_EMISSIVE)[:, None], scene.ke[tid], 0.0
@@ -165,7 +205,8 @@ def trace_paths(
                 0.0,
                 _dot(normal, wl) * _dot(-wl, lnormal) / (1.0 + dist * dist),
             )
-            nee = lke * (geometric * larea * n_lights)[:, None] * f_brdf
+            f_nee = phong_f(wl) if scene.has_specular else f_brdf
+            nee = lke * (geometric * larea * n_lights)[:, None] * f_nee
             direct = direct + jnp.where((~occluded)[:, None], nee, 0.0)
 
         radiance = radiance + jnp.where(hit[:, None], throughput * direct, 0.0)
@@ -174,10 +215,49 @@ def trace_paths(
         wi, pdf = sample_wi_diffuse(
             normal, un[:, prng.DIM_BSDF_U], un[:, prng.DIM_BSDF_V]
         )
-        kmax = jnp.max(f_brdf, axis=-1)
-        survive = (pdf > 0.0) & (un[:, prng.DIM_RR] <= kmax)
-        cosine = jnp.abs(_dot(normal, wi))
-        scale = f_brdf * (cosine / jnp.where(pdf > 0.0, pdf * kmax, 1.0))[:, None]
+        if not scene.has_specular:
+            kmax = jnp.max(f_brdf, axis=-1)
+            survive = (pdf > 0.0) & (un[:, prng.DIM_RR] <= kmax)
+            cosine = jnp.abs(_dot(normal, wi))
+            scale = f_brdf * (
+                cosine / jnp.where(pdf > 0.0, pdf * kmax, 1.0)
+            )[:, None]
+        else:
+            # Mixture sampling: diffuse cosine lobe vs Phong lobe, chosen with
+            # probability p_spec = maxKs / (maxKd + maxKs); MIS-free one-sample
+            # estimator with the mixture pdf.  Non-Phong lanes reduce exactly
+            # to the reference path (p_spec = 0).
+            max_kd = jnp.max(kd, axis=-1)
+            max_ks = jnp.max(ks, axis=-1)
+            p_spec = jnp.where(
+                is_phong, max_ks / jnp.maximum(max_kd + max_ks, 1e-8), 0.0
+            )
+            wi_s, _ = sample_phong_lobe(
+                wr, ns, un[:, prng.DIM_BSDF_U], un[:, prng.DIM_BSDF_V]
+            )
+            choose_spec = un[:, prng.DIM_LOBE] < p_spec
+            wi = jnp.where(choose_spec[:, None], wi_s, wi)
+
+            pdf_d = jnp.maximum(0.0, _dot(normal, wi)) * M_1_PI
+            pdf_s = phong_pdf(wr, wi, ns)
+            pdf_mix = (1.0 - p_spec) * pdf_d + p_spec * pdf_s
+
+            f_at_wi = phong_f(wi)
+            # Survival: reference's Kmax for pure-diffuse lanes; energy-bounded
+            # clamp for Phong lanes.  Specular lobes below the surface are
+            # treated as absorbed.
+            q = jnp.where(
+                is_phong,
+                jnp.clip(max_kd + max_ks, 0.05, 0.95),
+                jnp.max(f_brdf, axis=-1),
+            )
+            above = _dot(n_unit, wi) > 0.0
+            survive = (pdf_mix > 0.0) & (un[:, prng.DIM_RR] <= q)
+            survive = survive & (above | ~is_phong)
+            cosine = jnp.abs(_dot(normal, wi))
+            scale = f_at_wi * (
+                cosine / jnp.where(pdf_mix > 0.0, pdf_mix * q, 1.0)
+            )[:, None]
 
         new_active = hit & survive & (k < depth)
         throughput = jnp.where(new_active[:, None], throughput * scale, throughput)

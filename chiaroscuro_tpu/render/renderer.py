@@ -216,6 +216,42 @@ class Renderer:
         e = self.cfg.exposure if exposure is None else exposure
         return tonemap.normalize_image(self.pixels, e)
 
+    # --- durable progressive accumulation (utils/checkpoint.py) -----------
+    # The reference loses its in-memory layer accumulation on exit
+    # (rayTracer.cpp:18-33); these make long renders resumable.
+
+    def save_state(self, path: str) -> None:
+        from chiaroscuro_tpu.utils.checkpoint import AccumulationState
+
+        cam = self._last_cam or (tuple(self.cfg.vp), tuple(self.cfg.la), self.cfg.yview)
+        state = AccumulationState(
+            pixel_sum=self.pixels.astype(np.float64) * self._layers,
+            layers=self._layers,
+            samples_per_layer=self.cfg.samples,
+            camera=(cam[0], cam[1], tuple(self.cfg.up), cam[2]),
+            seed=self.cfg.seed,
+        )
+        state.save(path)
+
+    def load_state(self, path: str) -> bool:
+        """Restore accumulation if compatible; returns True on resume."""
+        import os
+
+        from chiaroscuro_tpu.utils.checkpoint import AccumulationState
+
+        if not os.path.exists(path):
+            return False
+        state = AccumulationState.load(path)
+        if state.pixel_sum.shape != (self.cfg.yres, self.cfg.xres, 3):
+            return False
+        if state.samples_per_layer != self.cfg.samples or state.seed != self.cfg.seed:
+            return False
+        self.pixels = state.pixels
+        self._layers = state.layers
+        self._last_cam = (state.camera[0], state.camera[1], state.camera[3])
+        self.max_val = float(self.pixels.max(initial=0.0))
+        return True
+
     def export_image(self, path: Optional[str] = None) -> None:
         image_io.write_image(
             path or self.cfg.render_path, self.pixels, self.cfg.exposure

@@ -35,7 +35,8 @@ DIM_LIGHT_V = 2
 DIM_RR = 3
 DIM_BSDF_U = 4
 DIM_BSDF_V = 5
-N_BOUNCE_DIMS = 6
+DIM_LOBE = 6          # diffuse-vs-specular lobe pick (Phong extension)
+N_BOUNCE_DIMS = 7
 
 _JITTER_TAG = 0x51A77E12  # distinct from any bounce index
 

@@ -85,6 +85,36 @@ def tangent_frame(n: jnp.ndarray):
     return tangent, bitangent
 
 
+def reflect(wo: jnp.ndarray, n_unit: jnp.ndarray) -> jnp.ndarray:
+    """Mirror direction of ``wo`` about unit normal: 2*dot(n,wo)*n - wo."""
+    return 2.0 * jnp.sum(n_unit * wo, axis=-1, keepdims=True) * n_unit - wo
+
+
+def sample_phong_lobe(wr: jnp.ndarray, ns: jnp.ndarray, u, v):
+    """Sample a direction from the Phong lobe pdf (ns+1)/(2pi) cos^ns(alpha)
+    about the reflection direction ``wr`` (unit).  Returns (wi, cos_alpha).
+
+    Part of the specular extension (not in the reference integrator —
+    ``brdf.hpp:8`` has only Diffuse/Emissive).
+    """
+    cos_a = jnp.power(jnp.maximum(u, 1e-12), 1.0 / (ns + 1.0))
+    sin_a = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_a * cos_a))
+    phi = 2.0 * M_PI * v
+    tangent, bitangent = tangent_frame(wr)
+    wi = _normalize(
+        (sin_a * jnp.cos(phi))[..., None] * tangent
+        + (sin_a * jnp.sin(phi))[..., None] * bitangent
+        + cos_a[..., None] * wr
+    )
+    return wi, cos_a
+
+
+def phong_pdf(wr: jnp.ndarray, wi: jnp.ndarray, ns: jnp.ndarray):
+    """pdf of :func:`sample_phong_lobe` evaluated at ``wi``."""
+    cos_a = jnp.maximum(0.0, jnp.sum(wr * wi, axis=-1))
+    return (ns + 1.0) * (0.5 * M_1_PI) * jnp.power(cos_a, ns)
+
+
 def sample_wi_diffuse(n: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
     """Cosine-weighted hemisphere sample about (possibly non-unit) normal n.
 

@@ -37,7 +37,7 @@ Vec3 = Tuple[float, float, float]
 KEYWORDS = {
     "no-preview", "input", "output", "k", "xres", "yres", "VP", "LA", "UP",
     "yview", "preview-height", "samples", "exposure", "kdtree-leaf-size",
-    "seed", "intersector", "spp-chunk", "platform",
+    "seed", "intersector", "spp-chunk", "platform", "specular",
 }
 
 
@@ -75,6 +75,7 @@ class RenderConfig:
     intersector: str = "auto"        # "brute" | "bvh" | "pallas" | "auto"
     spp_chunk: int = 0               # render samples in chunks of this size (0 = all at once)
     platform: str = ""               # force a jax platform ("cpu"/"tpu"; "" = default)
+    enable_specular: bool = False    # Phong specular extension (off = reference parity)
     light_points: list = dataclasses.field(default_factory=list)  # [LightPoint]
 
     @classmethod
@@ -138,6 +139,8 @@ class RenderConfig:
                 cfg.spp_chunk = int(take())
             elif tok == "platform":
                 cfg.platform = take()
+            elif tok == "specular":
+                cfg.enable_specular = take().lower() in ("on", "true", "1")
             else:
                 print(f'Invalid argument "{tok}"', file=sys.stderr)
             i += 1

@@ -62,6 +62,7 @@ class Mesh:
     specular: np.ndarray     # (3,) float32  Ks
     shininess: float
     texture_diffuse: Optional[str] = None   # resolved path or None
+    texture_specular: Optional[str] = None  # resolved path or None
 
     @property
     def is_light(self) -> bool:
@@ -234,12 +235,17 @@ def load_obj(
                     flat_n = (n / ln if ln > 0 else n).astype(np.float32)
                 indices.append(tuple(emit_corner(c, flat_n) for c in tri))
 
-        tex_path = None
-        if mtl.map_kd:
-            cand = os.path.join(directory, mtl.map_kd)
-            tex_path = cand if os.path.exists(cand) else None
-            if tex_path is None:
-                print(f"Texture failed to load at path: {mtl.map_kd}")
+        def resolve(rel):
+            if not rel:
+                return None
+            cand = os.path.join(directory, rel)
+            if os.path.exists(cand):
+                return cand
+            print(f"Texture failed to load at path: {rel}")
+            return None
+
+        tex_path = resolve(mtl.map_kd)
+        tex_spec = resolve(mtl.map_ks)
 
         meshes.append(
             Mesh(
@@ -254,6 +260,7 @@ def load_obj(
                 specular=mtl.ks.copy(),
                 shininess=mtl.shininess,
                 texture_diffuse=tex_path,
+                texture_specular=tex_spec,
             )
         )
     return meshes

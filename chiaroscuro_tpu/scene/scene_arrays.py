@@ -34,6 +34,7 @@ from chiaroscuro_tpu.scene.obj_loader import Mesh, load_obj, load_texture
 
 BRDF_DIFFUSE = 0
 BRDF_EMISSIVE = 1
+BRDF_PHONG = 2   # diffuse + Phong specular lobe (extension; see integrator)
 
 
 @dataclasses.dataclass
@@ -47,13 +48,16 @@ class SceneArrays:
     # --- material params (differentiable) ---
     kd: jax.Array      # (T, 3) diffuse albedo
     ke: jax.Array      # (T, 3) emitted radiance
-    brdf_type: jax.Array  # (T,) int32: BRDF_DIFFUSE | BRDF_EMISSIVE
+    ks: jax.Array      # (T, 3) specular reflectance (Phong extension)
+    shininess: jax.Array  # (T,) Phong exponent Ns
+    brdf_type: jax.Array  # (T,) int32: BRDF_DIFFUSE | BRDF_EMISSIVE | BRDF_PHONG
 
     # --- texturing ---
     uv0: jax.Array     # (T, 2) per-corner texcoords (post-FlipUVs)
     uv1: jax.Array     # (T, 2)
     uv2: jax.Array     # (T, 2)
     tex_id: jax.Array  # (T,) int32 index into texture table, -1 = untextured
+    tex_id_ks: jax.Array  # (T,) int32 specular-map index, -1 = none
     tex_data: jax.Array    # (n_texels, 3) f32 flat texel buffer (differentiable)
     tex_offset: jax.Array  # (n_tex,) int32 start offset into tex_data
     tex_width: jax.Array   # (n_tex,) int32
@@ -70,6 +74,9 @@ class SceneArrays:
     # --- static metadata (not traced) ---
     n_tris: int = dataclasses.field(metadata=dict(static=True), default=0)
     n_lights: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # True iff any triangle uses BRDF_PHONG (enables the specular code path
+    # in the integrator; False keeps exact reference-estimator parity).
+    has_specular: bool = dataclasses.field(metadata=dict(static=True), default=False)
 
     @property
     def has_lights(self) -> bool:
@@ -80,12 +87,12 @@ jax.tree_util.register_dataclass(
     SceneArrays,
     data_fields=[
         "tri_v0", "tri_v1", "tri_v2", "normal",
-        "kd", "ke", "brdf_type",
-        "uv0", "uv1", "uv2", "tex_id",
+        "kd", "ke", "ks", "shininess", "brdf_type",
+        "uv0", "uv1", "uv2", "tex_id", "tex_id_ks",
         "tex_data", "tex_offset", "tex_width", "tex_height",
         "light_ids", "light_areas", "world_min", "world_max",
     ],
-    meta_fields=["n_tris", "n_lights"],
+    meta_fields=["n_tris", "n_lights", "has_specular"],
 )
 
 
@@ -98,26 +105,32 @@ def build_scene_arrays(
     meshes: Sequence[Mesh],
     textures: Optional[Dict[str, np.ndarray]] = None,
     device_put: bool = True,
+    enable_specular: bool = False,
 ) -> SceneArrays:
     """Flatten meshes into the SoA pytree (reference ``kdtree.cpp:34-108``).
 
     ``textures`` maps texture path -> (H, W, 3) float32 array; when None,
-    each mesh's ``texture_diffuse`` path is decoded from disk.
+    each mesh's texture paths are decoded from disk.
+
+    ``enable_specular``: classify non-emissive meshes with max(Ks) > 0 as
+    ``BRDF_PHONG`` (diffuse + Phong lobe).  Default False = the reference's
+    two-type system (``brdf.hpp:8``) for exact estimator parity.
     """
     if textures is None:
         textures = {}
         for m in meshes:
-            if m.texture_diffuse and m.texture_diffuse not in textures:
-                textures[m.texture_diffuse] = load_texture(m.texture_diffuse)
+            for p in (m.texture_diffuse, m.texture_specular if enable_specular else None):
+                if p and p not in textures:
+                    textures[p] = load_texture(p)
 
     # Texture table: dedup by path, pack into a flat texel buffer.
     tex_paths: List[str] = []
     tex_index: Dict[str, int] = {}
     for m in meshes:
-        if m.texture_diffuse and m.texture_diffuse in textures:
-            if m.texture_diffuse not in tex_index:
-                tex_index[m.texture_diffuse] = len(tex_paths)
-                tex_paths.append(m.texture_diffuse)
+        for p in (m.texture_diffuse, m.texture_specular):
+            if p and p in textures and p not in tex_index:
+                tex_index[p] = len(tex_paths)
+                tex_paths.append(p)
 
     offsets, widths, heights, blobs = [], [], [], []
     cursor = 0
@@ -134,7 +147,8 @@ def build_scene_arrays(
         blobs = [np.zeros((1, 3), np.float32)]
 
     v0s, v1s, v2s, nrms, kds, kes, types = [], [], [], [], [], [], []
-    uv0s, uv1s, uv2s, tids = [], [], [], []
+    kss, nss = [], []
+    uv0s, uv1s, uv2s, tids, tids_ks = [], [], [], [], []
     light_ids, light_areas = [], []
     tri_base = 0
     for m in meshes:
@@ -149,12 +163,22 @@ def build_scene_arrays(
         uv0s.append(uv[i0]); uv1s.append(uv[i1]); uv2s.append(uv[i2])
         kds.append(np.broadcast_to(m.diffuse, (nt, 3)))
         kes.append(np.broadcast_to(m.emissive, (nt, 3)))
+        kss.append(np.broadcast_to(m.specular, (nt, 3)))
+        nss.append(np.full(nt, max(float(m.shininess), 1.0), np.float32))
         is_light = m.is_light
-        types.append(
-            np.full(nt, BRDF_EMISSIVE if is_light else BRDF_DIFFUSE, np.int32)
-        )
+        if is_light:
+            btype = BRDF_EMISSIVE
+        elif enable_specular and float(np.max(m.specular)) > 0.0:
+            btype = BRDF_PHONG
+        else:
+            btype = BRDF_DIFFUSE
+        types.append(np.full(nt, btype, np.int32))
         tid = tex_index.get(m.texture_diffuse, -1) if m.texture_diffuse else -1
         tids.append(np.full(nt, tid, np.int32))
+        tid_ks = (
+            tex_index.get(m.texture_specular, -1) if m.texture_specular else -1
+        )
+        tids_ks.append(np.full(nt, tid_ks if enable_specular else -1, np.int32))
         if is_light:
             areas = triangle_areas(p[i0], p[i1], p[i2])
             light_ids.extend(range(tri_base, tri_base + nt))
@@ -181,11 +205,14 @@ def build_scene_arrays(
         normal=put(np.concatenate(nrms).astype(np.float32)),
         kd=put(np.concatenate(kds).astype(np.float32)),
         ke=put(np.concatenate(kes).astype(np.float32)),
+        ks=put(np.concatenate(kss).astype(np.float32)),
+        shininess=put(np.concatenate(nss).astype(np.float32)),
         brdf_type=put(np.concatenate(types)),
         uv0=put(np.concatenate(uv0s).astype(np.float32)),
         uv1=put(np.concatenate(uv1s).astype(np.float32)),
         uv2=put(np.concatenate(uv2s).astype(np.float32)),
         tex_id=put(np.concatenate(tids)),
+        tex_id_ks=put(np.concatenate(tids_ks)),
         tex_data=put(np.concatenate(blobs).astype(np.float32)),
         tex_offset=put(np.asarray(offsets, np.int32)),
         tex_width=put(np.asarray(widths, np.int32)),
@@ -196,6 +223,10 @@ def build_scene_arrays(
         world_max=put(world_max.astype(np.float32)),
         n_tris=n_tris,
         n_lights=n_lights,
+        has_specular=bool(
+            enable_specular
+            and any(int(t[0]) == BRDF_PHONG for t in types if len(t))
+        ),
     )
 
 
@@ -214,7 +245,7 @@ def load_scene(cfg: RenderConfig, **obj_kwargs) -> SceneArrays:
         meshes = getattr(builtin, name)()
     else:
         meshes = load_obj(cfg.obj_path, **obj_kwargs)
-    scene = build_scene_arrays(meshes)
+    scene = build_scene_arrays(meshes, enable_specular=cfg.enable_specular)
     _log_scene(scene)
     return scene
 
