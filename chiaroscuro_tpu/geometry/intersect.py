@@ -28,13 +28,23 @@ INF = jnp.float32(np.inf)
 
 
 class ClosestHit(NamedTuple):
-    """Result of a closest-hit query over a ray wavefront."""
+    """Result of a closest-hit query over a ray wavefront.
+
+    ``attrs`` optionally carries per-hit shading attributes fetched *by the
+    intersector itself* — the Pallas kernel materializes them with a one-hot
+    (ray x tri_chunk) @ (tri_chunk x n_attrs) matmul on the MXU, which on TPU
+    is far cheaper than XLA row-gathers of tiny (3,) rows from HBM.  ``None``
+    means the integrator gathers from SceneArrays by ``tid`` instead.
+    Layout when present: dict of arrays, keys 'v0','e1','e2','normal','kd',
+    'ke','uv','btype','texid' (see ops/intersect_pallas.ATTR_LAYOUT).
+    """
 
     hit: jax.Array   # (R,) bool
     t: jax.Array     # (R,) f32 distance in units of |dir|
     tid: jax.Array   # (R,) int32 triangle id
     u: jax.Array     # (R,) f32 barycentric weight of v1
     v: jax.Array     # (R,) f32 barycentric weight of v2
+    attrs: object = None  # Optional[dict[str, jax.Array]]
 
 
 # closest_fn(origins, dirs) -> ClosestHit

@@ -53,6 +53,67 @@ def _tri_chunk_for(n_tris: int) -> int:
     return min(MAX_TRI_CHUNK, aligned)
 
 
+# Shading-attribute matrix columns (padded to ATTR_K for MXU alignment).
+ATTR_LAYOUT = {
+    "v0": slice(0, 3),
+    "e1": slice(3, 6),
+    "e2": slice(6, 9),
+    "normal": slice(9, 12),
+    "kd": slice(12, 15),
+    "ke": slice(15, 18),
+    "uv0": slice(18, 20),
+    "uv1": slice(20, 22),
+    "uv2": slice(22, 24),
+    "btype": slice(24, 25),
+    "texid": slice(25, 26),
+    "ks": slice(26, 29),
+    "ns": slice(29, 30),
+    "texid_ks": slice(30, 31),
+}
+ATTR_K = 32
+
+
+def _prep_attrs(scene, chunk):
+    """(T_pad, ATTR_K) f32 shading-attribute matrix, one row per triangle.
+    Fetched in-kernel as one-hot @ attrs (an MXU matmul) instead of per-field
+    HBM gathers.  Int columns (btype/texid) ride as exact small floats."""
+    import numpy as _np
+
+    T = scene.tri_v0.shape[0]
+    pad = (-T) % chunk
+    A = _np.zeros((T + pad, ATTR_K), _np.float32)
+    v0 = _np.asarray(scene.tri_v0)
+    A[:T, ATTR_LAYOUT["v0"]] = v0
+    A[:T, ATTR_LAYOUT["e1"]] = _np.asarray(scene.tri_v1) - v0
+    A[:T, ATTR_LAYOUT["e2"]] = _np.asarray(scene.tri_v2) - v0
+    A[:T, ATTR_LAYOUT["normal"]] = _np.asarray(scene.normal)
+    A[:T, ATTR_LAYOUT["kd"]] = _np.asarray(scene.kd)
+    A[:T, ATTR_LAYOUT["ke"]] = _np.asarray(scene.ke)
+    A[:T, ATTR_LAYOUT["uv0"]] = _np.asarray(scene.uv0)
+    A[:T, ATTR_LAYOUT["uv1"]] = _np.asarray(scene.uv1)
+    A[:T, ATTR_LAYOUT["uv2"]] = _np.asarray(scene.uv2)
+    A[:T, ATTR_LAYOUT["btype"]] = _np.asarray(scene.brdf_type)[:, None]
+    A[:T, ATTR_LAYOUT["texid"]] = _np.asarray(scene.tex_id)[:, None]
+    A[:T, ATTR_LAYOUT["ks"]] = _np.asarray(scene.ks)
+    A[:T, ATTR_LAYOUT["ns"]] = _np.asarray(scene.shininess)[:, None]
+    A[:T, ATTR_LAYOUT["texid_ks"]] = _np.asarray(scene.tex_id_ks)[:, None]
+    return jnp.asarray(A)
+
+
+def unpack_attrs(mat):
+    """(R, ATTR_K) kernel output -> dict of per-field arrays."""
+    out = {}
+    for name, sl in ATTR_LAYOUT.items():
+        col = mat[:, sl]
+        if name in ("btype", "texid", "texid_ks"):
+            out[name] = jnp.round(col[:, 0]).astype(jnp.int32)
+        elif name == "ns":
+            out[name] = col[:, 0]
+        else:
+            out[name] = col
+    return out
+
+
 def _pad_rays(x, tile):
     n = x.shape[0]
     pad = (-n) % tile
@@ -118,7 +179,10 @@ def _mt_block(o, d, tri):
     return ok, t, u, v
 
 
-def _closest_kernel(o_ref, d_ref, tri_ref, t_ref, id_ref, u_ref, v_ref, *, chunk):
+def _closest_kernel(
+    o_ref, d_ref, tri_ref, attr_ref, t_ref, id_ref, u_ref, v_ref, attr_out,
+    *, chunk,
+):
     C = chunk
     n_chunks = tri_ref.shape[1] // C
 
@@ -128,7 +192,7 @@ def _closest_kernel(o_ref, d_ref, tri_ref, t_ref, id_ref, u_ref, v_ref, *, chunk
     col = jax.lax.broadcasted_iota(jnp.int32, (o_ref.shape[0], C), 1)
 
     def body(j, carry):
-        best_t, best_id, best_u, best_v = carry
+        best_t, best_id, best_u, best_v, best_attr = carry
         tri = tri_ref[:, pl.ds(j * C, C)]
         ok, t, u, v = _mt_block(o, d, tri)
         t = jnp.where(ok, t, BIG)
@@ -142,11 +206,19 @@ def _closest_kernel(o_ref, d_ref, tri_ref, t_ref, id_ref, u_ref, v_ref, *, chunk
         cv = jnp.sum(jnp.where(sel, v, 0.0), axis=1, keepdims=True)
         cid = j * C + idx
         better = tmin < best_t
+        # Shading-attribute fetch as a one-hot matmul on the MXU: sel is
+        # exactly one-hot per row, so sel @ attrs == attrs[best_id_in_chunk].
+        cattr = jnp.dot(
+            sel.astype(jnp.float32),
+            attr_ref[pl.ds(j * C, C), :],
+            preferred_element_type=jnp.float32,
+        )
         return (
             jnp.where(better, tmin, best_t),
             jnp.where(better, cid, best_id),
             jnp.where(better, cu, best_u),
             jnp.where(better, cv, best_v),
+            jnp.where(better, cattr, best_attr),
         )
 
     R = o_ref.shape[0]
@@ -155,16 +227,20 @@ def _closest_kernel(o_ref, d_ref, tri_ref, t_ref, id_ref, u_ref, v_ref, *, chunk
         jnp.zeros((R, 1), jnp.int32),
         jnp.zeros((R, 1), jnp.float32),
         jnp.zeros((R, 1), jnp.float32),
+        jnp.zeros((R, attr_out.shape[1]), jnp.float32),
     )
-    best_t, best_id, best_u, best_v = jax.lax.fori_loop(0, n_chunks, body, init)
+    best_t, best_id, best_u, best_v, best_attr = jax.lax.fori_loop(
+        0, n_chunks, body, init
+    )
     t_ref[:, :] = best_t
     id_ref[:, :] = best_id
     u_ref[:, :] = best_u
     v_ref[:, :] = best_v
+    attr_out[:, :] = best_attr
 
 
 @partial(jax.jit, static_argnames=("chunk", "interpret"))
-def _closest_call(origins, dirs, tri_soa, chunk, interpret=False):
+def _closest_call(origins, dirs, tri_soa, attrs, chunk, interpret=False):
     R = origins.shape[0]
     n_tiles = R // RAY_TILE
     grid = (n_tiles,)
@@ -173,12 +249,16 @@ def _closest_call(origins, dirs, tri_soa, chunk, interpret=False):
         jax.ShapeDtypeStruct((R, 1), jnp.int32),
         jax.ShapeDtypeStruct((R, 1), jnp.float32),
         jax.ShapeDtypeStruct((R, 1), jnp.float32),
+        jax.ShapeDtypeStruct((R, ATTR_K), jnp.float32),
     ]
     ray_spec = pl.BlockSpec(
         (RAY_TILE, 3), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
         (RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    attr_out_spec = pl.BlockSpec(
+        (RAY_TILE, ATTR_K), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
         partial(_closest_kernel, chunk=chunk),
@@ -188,10 +268,11 @@ def _closest_call(origins, dirs, tri_soa, chunk, interpret=False):
             ray_spec,
             ray_spec,
             pl.BlockSpec(tri_soa.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(attrs.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[out_spec] * 4,
+        out_specs=[out_spec] * 4 + [attr_out_spec],
         interpret=interpret,
-    )(origins, dirs, tri_soa)
+    )(origins, dirs, tri_soa, attrs)
 
 
 def _any_kernel(o_ref, d_ref, tmax_ref, excl_ref, tri_ref, occ_ref, *, chunk):
@@ -254,14 +335,19 @@ def make_pallas_intersectors(
 
     chunk = _tri_chunk_for(scene.n_tris)
     tri_soa, _ = _prep_tris(scene.tri_v0, scene.tri_v1, scene.tri_v2, chunk)
+    attr_mat = _prep_attrs(scene, chunk)
 
     def closest_fn(origins, dirs) -> ClosestHit:
         R = origins.shape[0]
         o = _pad_rays(origins, RAY_TILE)
         d = _pad_rays(dirs, RAY_TILE)
-        t, tid, u, v = _closest_call(o, d, tri_soa, chunk, interpret=interpret)
+        t, tid, u, v, am = _closest_call(
+            o, d, tri_soa, attr_mat, chunk, interpret=interpret
+        )
         t = t[:R, 0]
-        return ClosestHit(t < BIG, t, tid[:R, 0], u[:R, 0], v[:R, 0])
+        return ClosestHit(
+            t < BIG, t, tid[:R, 0], u[:R, 0], v[:R, 0], unpack_attrs(am[:R])
+        )
 
     def any_fn(origins, dirs, tmax, exclude_id):
         R = origins.shape[0]

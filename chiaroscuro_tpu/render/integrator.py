@@ -80,6 +80,10 @@ def _atlas_fetch(scene: SceneArrays, tex_id, uv, fallback):
     clamped to the last texel — the reference reads out of bounds there; we
     clamp, a conscious divergence documented in SURVEY.md §7).
     """
+    if scene.tex_data.shape[0] <= 1:
+        # Untextured scene (the atlas holds only the dummy texel): the fetch
+        # is statically a no-op — skip the gathers entirely.
+        return fallback
     safe_id = jnp.maximum(tex_id, 0)
     tw = scene.tex_width[safe_id]
     th = scene.tex_height[safe_id]
@@ -124,10 +128,29 @@ def trace_paths(
     R = origins.shape[0]
     n_lights = scene.n_lights
 
+    if n_lights > 0:
+        # Compact per-light table, derived *inside the traced graph* (so
+        # gradients flow from NEE into ke and vertex positions).  One tiny
+        # (L,)-row gather per trace, then per-ray fetches hit the small table
+        # via a one-hot matmul (MXU) instead of HBM row-gathers.
+        lids = scene.light_ids
+        light_table = jnp.concatenate(
+            [
+                scene.tri_v0[lids],
+                scene.tri_v1[lids],
+                scene.tri_v2[lids],
+                scene.normal[lids],
+                scene.ke[lids],
+                scene.light_areas[:, None],
+            ],
+            axis=1,
+        )  # (L, 16)
+
     def bounce(state, k):
         origin, direction, throughput, radiance, active = state
 
-        hit, _, tid, bu, bv = closest_fn(origin, direction)
+        res = closest_fn(origin, direction)
+        hit, tid, bu, bv = res.hit, res.tid, res.u, res.v
         hit = hit & active
 
         # Miss -> background, terminate (rayTracer.cpp:134).
@@ -135,23 +158,46 @@ def trace_paths(
             (active & ~hit)[:, None], throughput * background[None, :], 0.0
         )
 
-        # Hit resolution (rayTracer.cpp:148-166).
+        # Hit resolution (rayTracer.cpp:148-166).  When the intersector
+        # pre-fetched shading attributes in-kernel (MXU one-hot matmul; see
+        # ops/intersect_pallas.py), use them; otherwise gather by tid.
         w = 1.0 - bu - bv
-        point = (
-            scene.tri_v0[tid] * w[:, None]
-            + scene.tri_v1[tid] * bu[:, None]
-            + scene.tri_v2[tid] * bv[:, None]
-        )
-        normal = scene.normal[tid]
+        A = res.attrs
+        if A is not None:
+            # v0*(1-u-v) + v1*u + v2*v == v0 + u*e1 + v*e2 exactly in algebra;
+            # fp association differs at ~ulp scale.
+            point = A["v0"] + bu[:, None] * A["e1"] + bv[:, None] * A["e2"]
+            normal = A["normal"]
+            uv_hit = (
+                A["uv0"] * w[:, None]
+                + A["uv1"] * bu[:, None]
+                + A["uv2"] * bv[:, None]
+            )
+            kd = _atlas_fetch(scene, A["texid"], uv_hit, A["kd"])
+            ke_hit = A["ke"]
+            btype = A["btype"]
+        else:
+            point = (
+                scene.tri_v0[tid] * w[:, None]
+                + scene.tri_v1[tid] * bu[:, None]
+                + scene.tri_v2[tid] * bv[:, None]
+            )
+            normal = scene.normal[tid]
+            kd = texture_kd_lookup(scene, tid, bu, bv)
+            ke_hit = scene.ke[tid]
+            btype = scene.brdf_type[tid]
         wo = _normalize(origin - point)
-        kd = texture_kd_lookup(scene, tid, bu, bv)
         f_brdf = kd * M_1_PI  # Diffuse::f (brdf.cpp:70)
 
         if scene.has_specular:
             # Phong extension state (never active in reference-parity mode).
-            is_phong = scene.brdf_type[tid] == BRDF_PHONG
-            ks = texture_ks_lookup(scene, tid, bu, bv)
-            ns = scene.shininess[tid]
+            is_phong = btype == BRDF_PHONG
+            if A is not None:
+                ks = _atlas_fetch(scene, A["texid_ks"], uv_hit, A["ks"])
+                ns = A["ns"]
+            else:
+                ks = texture_ks_lookup(scene, tid, bu, bv)
+                ns = scene.shininess[tid]
             n_unit = _normalize(normal)
             wr = reflect(wo, n_unit)
             spec_norm = (ns + 2.0) * (0.5 * M_1_PI)
@@ -162,9 +208,7 @@ def trace_paths(
                 spec = ks * (spec_norm * jnp.power(cos_r, ns))[:, None]
                 return f_brdf + jnp.where(is_phong[:, None], spec, 0.0)
 
-        emitted = jnp.where(
-            (scene.brdf_type[tid] == BRDF_EMISSIVE)[:, None], scene.ke[tid], 0.0
-        )
+        emitted = jnp.where((btype == BRDF_EMISSIVE)[:, None], ke_hit, 0.0)
         direct = jnp.where(
             k == 1,
             emitted * jnp.maximum(0.0, _dot(wo, normal))[:, None],
@@ -179,12 +223,20 @@ def trace_paths(
                 n_lights - 1,
             )
             ltid = scene.light_ids[li]
-            larea = scene.light_areas[li]
-            lv0 = scene.tri_v0[ltid]
-            lv1 = scene.tri_v1[ltid]
-            lv2 = scene.tri_v2[ltid]
-            lnormal = scene.normal[ltid]
-            lke = scene.ke[ltid]
+            if n_lights <= 512:
+                onehot = (
+                    li[:, None]
+                    == jnp.arange(n_lights, dtype=jnp.int32)[None, :]
+                ).astype(jnp.float32)
+                lrow = onehot @ light_table                     # (R, 16)
+            else:
+                lrow = light_table[li]
+            lv0 = lrow[:, 0:3]
+            lv1 = lrow[:, 3:6]
+            lv2 = lrow[:, 6:9]
+            lnormal = lrow[:, 9:12]
+            lke = lrow[:, 12:15]
+            larea = lrow[:, 15]
 
             # v0 ~ U(0,1), v1 ~ U(0, 1-v0)  (rayTracer.cpp:96-97)
             b0 = un[:, prng.DIM_LIGHT_U]

@@ -36,7 +36,7 @@ def _rays(scene, rng, n):
 def test_pallas_closest_matches_oracle(setup, rng):
     scene, closest_fn, _ = setup
     o, d = _rays(scene, rng, 300)  # non-multiple of RAY_TILE: tests padding
-    ph, pt, ptid, pu, pv = closest_fn(o, d)
+    ph, pt, ptid, pu, pv = closest_fn(o, d)[:5]
     oh, ot, otid, ou, ov = intersect_closest_bruteforce(
         o, d, scene.tri_v0, scene.tri_v1, scene.tri_v2
     )
@@ -90,3 +90,24 @@ def test_pallas_render_matches_brute(setup):
         render_image(scene, cfg, intersectors=(closest_fn, any_fn))
     )
     np.testing.assert_allclose(pall, brute, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_attrs_match_scene_gathers(setup, rng):
+    """In-kernel one-hot-matmul attribute fetch == gathering by tid."""
+    scene, closest_fn, _ = setup
+    o, d = _rays(scene, rng, 300)
+    res = closest_fn(o, d)
+    assert res.attrs is not None
+    hit = np.asarray(res.hit)
+    tid = np.asarray(res.tid)[hit]
+    A = {k: np.asarray(v)[hit] for k, v in res.attrs.items()}
+    np.testing.assert_allclose(A["v0"], np.asarray(scene.tri_v0)[tid], rtol=1e-6)
+    np.testing.assert_allclose(
+        A["e1"], np.asarray(scene.tri_v1)[tid] - np.asarray(scene.tri_v0)[tid],
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(A["normal"], np.asarray(scene.normal)[tid], atol=1e-6)
+    np.testing.assert_allclose(A["kd"], np.asarray(scene.kd)[tid], rtol=1e-6)
+    np.testing.assert_allclose(A["ke"], np.asarray(scene.ke)[tid], rtol=1e-6)
+    np.testing.assert_array_equal(A["btype"], np.asarray(scene.brdf_type)[tid])
+    np.testing.assert_array_equal(A["texid"], np.asarray(scene.tex_id)[tid])
