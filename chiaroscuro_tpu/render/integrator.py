@@ -35,14 +35,15 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from chiaroscuro_tpu.geometry import planar as P
 from chiaroscuro_tpu.geometry.intersect import AnyFn, ClosestFn, ClosestHit  # noqa: F401
 from chiaroscuro_tpu.sampling import prng
 from chiaroscuro_tpu.sampling.samplers import (
     M_1_PI,
-    phong_pdf,
-    reflect,
-    sample_phong_lobe,
-    sample_wi_diffuse,
+    phong_pdf_planar,
+    reflect_planar,
+    sample_phong_lobe_planar,
+    sample_wi_diffuse_planar,
 )
 from chiaroscuro_tpu.scene.scene_arrays import (
     BRDF_EMISSIVE,
@@ -124,17 +125,37 @@ def trace_paths(
     closest_fn: ClosestFn,
     any_fn: AnyFn,
 ) -> jax.Array:
-    """Estimate radiance for R primary rays. Returns (R, 3)."""
+    """Estimate radiance for R primary rays. Returns (R, 3).
+
+    All per-ray state is kept **2-D over the ray axis** — scalars as
+    (R/128, 128), vec3 as planar (3, R/128, 128) — for full (8, 128)-tile
+    utilization on the TPU VPU (see geometry/planar.py).  Intersectors keep
+    the row-major (R, 3) interface; conversion happens at the call boundary.
+    """
     R = origins.shape[0]
+    pad = (-R) % 128
+    if pad:
+        # Pad with replicas of ray 0: results are sliced off, and replicas
+        # cannot introduce degenerate configurations (NaN grads) that the
+        # real rays don't already have.
+        origins = jnp.concatenate([origins, origins[:1].repeat(pad, 0)])
+        dirs = jnp.concatenate([dirs, dirs[:1].repeat(pad, 0)])
+        keys = jnp.concatenate([keys, keys[:1].repeat(pad, 0)])
+    Rp = R + pad
+    B = (Rp // 128, 128)
+
+    def r2(x):  # per-ray scalar -> (R/128, 128)
+        return x.reshape(B)
+
     n_lights = scene.n_lights
+    bg = background[:, None, None]  # (3, 1, 1)
 
     if n_lights > 0:
         # Compact per-light table, derived *inside the traced graph* (so
-        # gradients flow from NEE into ke and vertex positions).  One tiny
-        # (L,)-row gather per trace, then per-ray fetches hit the small table
-        # via a one-hot matmul (MXU) instead of HBM row-gathers.
+        # gradients flow from NEE into ke and vertex positions).  Fetched
+        # per-ray with a one-hot matmul on the MXU for small L.
         lids = scene.light_ids
-        light_table = jnp.concatenate(
+        light_table_t = jnp.concatenate(
             [
                 scene.tri_v0[lids],
                 scene.tri_v1[lids],
@@ -144,154 +165,171 @@ def trace_paths(
                 scene.light_areas[:, None],
             ],
             axis=1,
-        )  # (L, 16)
+        ).T  # (16, L)
 
     def bounce(state, k):
         origin, direction, throughput, radiance, active = state
 
-        res = closest_fn(origin, direction)
-        hit, tid, bu, bv = res.hit, res.tid, res.u, res.v
+        res = closest_fn(P.to_rows(origin), P.to_rows(direction))
+        hit, tid = r2(res.hit), res.tid
+        bu, bv = r2(res.u), r2(res.v)
         hit = hit & active
 
         # Miss -> background, terminate (rayTracer.cpp:134).
-        radiance = radiance + jnp.where(
-            (active & ~hit)[:, None], throughput * background[None, :], 0.0
-        )
+        radiance = radiance + P.pwhere(active & ~hit, throughput * bg, 0.0)
 
         # Hit resolution (rayTracer.cpp:148-166).  When the intersector
         # pre-fetched shading attributes in-kernel (MXU one-hot matmul; see
         # ops/intersect_pallas.py), use them; otherwise gather by tid.
         w = 1.0 - bu - bv
         A = res.attrs
+
+        def pv(rows3):  # (R, 3) -> (3, R/128, 128)
+            return P.to_planar(rows3, B)
+
         if A is not None:
-            # v0*(1-u-v) + v1*u + v2*v == v0 + u*e1 + v*e2 exactly in algebra;
+            AT = {
+                kk: (pv(vv) if vv.ndim == 2 and vv.shape[1] == 3 else vv)
+                for kk, vv in A.items()
+            }
+            # v0*(1-u-v) + v1*u + v2*v == v0 + u*e1 + v*e2 algebraically;
             # fp association differs at ~ulp scale.
-            point = A["v0"] + bu[:, None] * A["e1"] + bv[:, None] * A["e2"]
-            normal = A["normal"]
+            point = AT["v0"] + P.pscale(bu, AT["e1"]) + P.pscale(bv, AT["e2"])
+            normal = AT["normal"]
             uv_hit = (
-                A["uv0"] * w[:, None]
-                + A["uv1"] * bu[:, None]
-                + A["uv2"] * bv[:, None]
+                A["uv0"] * (1.0 - res.u - res.v)[:, None]
+                + A["uv1"] * res.u[:, None]
+                + A["uv2"] * res.v[:, None]
             )
-            kd = _atlas_fetch(scene, A["texid"], uv_hit, A["kd"])
-            ke_hit = A["ke"]
-            btype = A["btype"]
+            kd = pv(_atlas_fetch(scene, A["texid"], uv_hit, A["kd"]))
+            ke_hit = AT["ke"]
+            btype = r2(A["btype"])
         else:
-            point = (
-                scene.tri_v0[tid] * w[:, None]
-                + scene.tri_v1[tid] * bu[:, None]
-                + scene.tri_v2[tid] * bv[:, None]
+            point = pv(
+                scene.tri_v0[tid] * (1.0 - res.u - res.v)[:, None]
+                + scene.tri_v1[tid] * res.u[:, None]
+                + scene.tri_v2[tid] * res.v[:, None]
             )
-            normal = scene.normal[tid]
-            kd = texture_kd_lookup(scene, tid, bu, bv)
-            ke_hit = scene.ke[tid]
-            btype = scene.brdf_type[tid]
-        wo = _normalize(origin - point)
+            normal = pv(scene.normal[tid])
+            kd = pv(texture_kd_lookup(scene, tid, res.u, res.v))
+            ke_hit = pv(scene.ke[tid])
+            btype = r2(scene.brdf_type[tid])
+        wo = P.pnormalize(origin - point)
         f_brdf = kd * M_1_PI  # Diffuse::f (brdf.cpp:70)
 
         if scene.has_specular:
             # Phong extension state (never active in reference-parity mode).
             is_phong = btype == BRDF_PHONG
             if A is not None:
-                ks = _atlas_fetch(scene, A["texid_ks"], uv_hit, A["ks"])
-                ns = A["ns"]
+                ks = pv(_atlas_fetch(scene, A["texid_ks"], uv_hit, A["ks"]))
+                ns = r2(A["ns"])
             else:
-                ks = texture_ks_lookup(scene, tid, bu, bv)
-                ns = scene.shininess[tid]
-            n_unit = _normalize(normal)
-            wr = reflect(wo, n_unit)
+                ks = pv(texture_ks_lookup(scene, tid, res.u, res.v))
+                ns = r2(scene.shininess[tid])
+            n_unit = P.pnormalize(normal)
+            wr = reflect_planar(wo, n_unit)
             spec_norm = (ns + 2.0) * (0.5 * M_1_PI)
 
             def phong_f(wi_dir):
                 """Full BRDF value f(wi, wo) = Kd/pi + Ks (ns+2)/2pi cos^ns."""
-                cos_r = jnp.maximum(0.0, _dot(wr, wi_dir))
-                spec = ks * (spec_norm * jnp.power(cos_r, ns))[:, None]
-                return f_brdf + jnp.where(is_phong[:, None], spec, 0.0)
+                cos_r = jnp.maximum(0.0, P.pdot(wr, wi_dir))
+                spec = ks * (spec_norm * jnp.power(cos_r, ns))[None]
+                return f_brdf + P.pwhere(is_phong, spec, 0.0)
 
-        emitted = jnp.where((btype == BRDF_EMISSIVE)[:, None], ke_hit, 0.0)
-        direct = jnp.where(
-            k == 1,
-            emitted * jnp.maximum(0.0, _dot(wo, normal))[:, None],
+        emitted = P.pwhere(btype == BRDF_EMISSIVE, ke_hit, 0.0)
+        direct = P.pwhere(
+            jnp.full(B, k == 1, bool),
+            P.pscale(jnp.maximum(0.0, P.pdot(wo, normal)), emitted),
             jnp.zeros_like(emitted),
         )
 
-        un = prng.bounce_uniforms_batch(keys, k)  # (R, N_BOUNCE_DIMS)
+        un = prng.bounce_uniforms_batch(keys, k)  # (Rp, N_BOUNCE_DIMS)
 
         if n_lights > 0:
-            li = jnp.minimum(
+            li_flat = jnp.minimum(
                 (un[:, prng.DIM_LIGHT_SEL] * n_lights).astype(jnp.int32),
                 n_lights - 1,
             )
-            ltid = scene.light_ids[li]
+            ltid = scene.light_ids[li_flat]
             if n_lights <= 512:
                 onehot = (
-                    li[:, None]
-                    == jnp.arange(n_lights, dtype=jnp.int32)[None, :]
-                ).astype(jnp.float32)
-                lrow = onehot @ light_table                     # (R, 16)
+                    jnp.arange(n_lights, dtype=jnp.int32)[:, None]
+                    == li_flat[None, :]
+                ).astype(jnp.float32)                      # (L, Rp)
+                lrow = jnp.dot(
+                    light_table_t, onehot, preferred_element_type=jnp.float32
+                )                                          # (16, Rp)
             else:
-                lrow = light_table[li]
-            lv0 = lrow[:, 0:3]
-            lv1 = lrow[:, 3:6]
-            lv2 = lrow[:, 6:9]
-            lnormal = lrow[:, 9:12]
-            lke = lrow[:, 12:15]
-            larea = lrow[:, 15]
+                lrow = light_table_t[:, li_flat]
+            lrow = lrow.reshape((16,) + B)
+            lv0 = lrow[0:3]
+            lv1 = lrow[3:6]
+            lv2 = lrow[6:9]
+            lnormal = lrow[9:12]
+            lke = lrow[12:15]
+            larea = lrow[15]
 
             # v0 ~ U(0,1), v1 ~ U(0, 1-v0)  (rayTracer.cpp:96-97)
-            b0 = un[:, prng.DIM_LIGHT_U]
-            b1 = un[:, prng.DIM_LIGHT_V] * (1.0 - b0)
+            b0 = r2(un[:, prng.DIM_LIGHT_U])
+            b1 = r2(un[:, prng.DIM_LIGHT_V]) * (1.0 - b0)
             lpoint = (
-                b0[:, None] * lv0
-                + b1[:, None] * lv1
-                + (1.0 - b0 - b1)[:, None] * lv2
+                P.pscale(b0, lv0)
+                + P.pscale(b1, lv1)
+                + P.pscale(1.0 - b0 - b1, lv2)
             )
 
             to_light = lpoint - point
-            dist = jnp.linalg.norm(to_light, axis=-1)
-            wl = _normalize(to_light)
+            dist = P.pnorm(to_light)
+            wl = P.pnormalize(to_light)
 
-            occluded = any_fn(point + EPS_OFFSET * normal, wl, dist, ltid)
+            occluded = r2(
+                any_fn(
+                    P.to_rows(point + EPS_OFFSET * normal),
+                    P.to_rows(wl),
+                    dist.reshape(-1),
+                    ltid,
+                )
+            )
 
             geometric = jnp.maximum(
                 0.0,
-                _dot(normal, wl) * _dot(-wl, lnormal) / (1.0 + dist * dist),
+                P.pdot(normal, wl) * P.pdot(-wl, lnormal) / (1.0 + dist * dist),
             )
             f_nee = phong_f(wl) if scene.has_specular else f_brdf
-            nee = lke * (geometric * larea * n_lights)[:, None] * f_nee
-            direct = direct + jnp.where((~occluded)[:, None], nee, 0.0)
+            nee = lke * (geometric * larea * n_lights)[None] * f_nee
+            direct = direct + P.pwhere(~occluded, nee, 0.0)
 
-        radiance = radiance + jnp.where(hit[:, None], throughput * direct, 0.0)
+        radiance = radiance + P.pwhere(hit, throughput * direct, 0.0)
 
         # Extend the path (rayTracer.cpp:119-131).
-        wi, pdf = sample_wi_diffuse(
-            normal, un[:, prng.DIM_BSDF_U], un[:, prng.DIM_BSDF_V]
+        wi, pdf = sample_wi_diffuse_planar(
+            normal, r2(un[:, prng.DIM_BSDF_U]), r2(un[:, prng.DIM_BSDF_V])
         )
         if not scene.has_specular:
-            kmax = jnp.max(f_brdf, axis=-1)
-            survive = (pdf > 0.0) & (un[:, prng.DIM_RR] <= kmax)
-            cosine = jnp.abs(_dot(normal, wi))
+            kmax = jnp.max(f_brdf, axis=0)
+            survive = (pdf > 0.0) & (r2(un[:, prng.DIM_RR]) <= kmax)
+            cosine = jnp.abs(P.pdot(normal, wi))
             scale = f_brdf * (
                 cosine / jnp.where(pdf > 0.0, pdf * kmax, 1.0)
-            )[:, None]
+            )[None]
         else:
             # Mixture sampling: diffuse cosine lobe vs Phong lobe, chosen with
-            # probability p_spec = maxKs / (maxKd + maxKs); MIS-free one-sample
+            # probability p_spec = maxKs / (maxKd + maxKs); one-sample
             # estimator with the mixture pdf.  Non-Phong lanes reduce exactly
             # to the reference path (p_spec = 0).
-            max_kd = jnp.max(kd, axis=-1)
-            max_ks = jnp.max(ks, axis=-1)
+            max_kd = jnp.max(kd, axis=0)
+            max_ks = jnp.max(ks, axis=0)
             p_spec = jnp.where(
                 is_phong, max_ks / jnp.maximum(max_kd + max_ks, 1e-8), 0.0
             )
-            wi_s, _ = sample_phong_lobe(
-                wr, ns, un[:, prng.DIM_BSDF_U], un[:, prng.DIM_BSDF_V]
+            wi_s, _ = sample_phong_lobe_planar(
+                wr, ns, r2(un[:, prng.DIM_BSDF_U]), r2(un[:, prng.DIM_BSDF_V])
             )
-            choose_spec = un[:, prng.DIM_LOBE] < p_spec
-            wi = jnp.where(choose_spec[:, None], wi_s, wi)
+            choose_spec = r2(un[:, prng.DIM_LOBE]) < p_spec
+            wi = P.pwhere(choose_spec, wi_s, wi)
 
-            pdf_d = jnp.maximum(0.0, _dot(normal, wi)) * M_1_PI
-            pdf_s = phong_pdf(wr, wi, ns)
+            pdf_d = jnp.maximum(0.0, P.pdot(normal, wi)) * M_1_PI
+            pdf_s = phong_pdf_planar(wr, wi, ns)
             pdf_mix = (1.0 - p_spec) * pdf_d + p_spec * pdf_s
 
             f_at_wi = phong_f(wi)
@@ -301,31 +339,31 @@ def trace_paths(
             q = jnp.where(
                 is_phong,
                 jnp.clip(max_kd + max_ks, 0.05, 0.95),
-                jnp.max(f_brdf, axis=-1),
+                jnp.max(f_brdf, axis=0),
             )
-            above = _dot(n_unit, wi) > 0.0
-            survive = (pdf_mix > 0.0) & (un[:, prng.DIM_RR] <= q)
+            above = P.pdot(n_unit, wi) > 0.0
+            survive = (pdf_mix > 0.0) & (r2(un[:, prng.DIM_RR]) <= q)
             survive = survive & (above | ~is_phong)
-            cosine = jnp.abs(_dot(normal, wi))
+            cosine = jnp.abs(P.pdot(normal, wi))
             scale = f_at_wi * (
                 cosine / jnp.where(pdf_mix > 0.0, pdf_mix * q, 1.0)
-            )[:, None]
+            )[None]
 
         new_active = hit & survive & (k < depth)
-        throughput = jnp.where(new_active[:, None], throughput * scale, throughput)
-        origin = jnp.where(hit[:, None], point + EPS_OFFSET * normal, origin)
-        direction = jnp.where(new_active[:, None], wi, direction)
+        throughput = P.pwhere(new_active, throughput * scale, throughput)
+        origin = P.pwhere(hit, point + EPS_OFFSET * normal, origin)
+        direction = P.pwhere(new_active, wi, direction)
 
         return (origin, direction, throughput, radiance, new_active), None
 
     init = (
-        origins,
-        dirs,
-        jnp.ones((R, 3), jnp.float32),
-        jnp.zeros((R, 3), jnp.float32),
-        jnp.ones((R,), bool),
+        P.to_planar(origins, B),
+        P.to_planar(dirs, B),
+        jnp.ones((3,) + B, jnp.float32),
+        jnp.zeros((3,) + B, jnp.float32),
+        jnp.ones(B, bool),
     )
     (_, _, _, radiance, _), _ = jax.lax.scan(
         bounce, init, jnp.arange(1, depth + 1)
     )
-    return radiance
+    return P.to_rows(radiance)[:R]

@@ -129,3 +129,60 @@ def sample_wi_diffuse(n: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
     )
     pdf = jnp.maximum(0.0, jnp.sum(n * wi, axis=-1)) * M_1_PI
     return wi, pdf
+
+
+# ---------------------------------------------------------------------------
+# Planar (3, R) variants — the TPU-hot forms (see geometry/planar.py).
+# Same math as the row-major versions above, verified equivalent in tests.
+# ---------------------------------------------------------------------------
+
+from chiaroscuro_tpu.geometry import planar as P  # noqa: E402
+
+
+def perpendicular_planar(n):
+    x, y, z = n[0], n[1], n[2]
+    cond = jnp.abs(x) < jnp.abs(y)
+    return P.pvec(
+        jnp.where(cond, 0.0, -z),
+        jnp.where(cond, -z, 0.0),
+        jnp.where(cond, y, x),
+    )
+
+
+def tangent_frame_planar(n):
+    tangent = P.pnormalize(perpendicular_planar(n))
+    bitangent = P.pnormalize(P.pcross(tangent, n))
+    return tangent, bitangent
+
+
+def sample_wi_diffuse_planar(n, u, v):
+    """Planar :func:`sample_wi_diffuse`: n (3, R) -> (wi (3, R), pdf (R,))."""
+    tangent, bitangent = tangent_frame_planar(n)
+    sx, sy, sz = cosine_sample_hemisphere(u, v)
+    wi = P.pnormalize(
+        P.pscale(sx, tangent) + P.pscale(sy, bitangent) + P.pscale(sz, n)
+    )
+    pdf = jnp.maximum(0.0, P.pdot(n, wi)) * M_1_PI
+    return wi, pdf
+
+
+def reflect_planar(wo, n_unit):
+    return P.pscale(2.0 * P.pdot(n_unit, wo), n_unit) - wo
+
+
+def sample_phong_lobe_planar(wr, ns, u, v):
+    cos_a = jnp.power(jnp.maximum(u, 1e-12), 1.0 / (ns + 1.0))
+    sin_a = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_a * cos_a))
+    phi = 2.0 * M_PI * v
+    tangent, bitangent = tangent_frame_planar(wr)
+    wi = P.pnormalize(
+        P.pscale(sin_a * jnp.cos(phi), tangent)
+        + P.pscale(sin_a * jnp.sin(phi), bitangent)
+        + P.pscale(cos_a, wr)
+    )
+    return wi, cos_a
+
+
+def phong_pdf_planar(wr, wi, ns):
+    cos_a = jnp.maximum(0.0, P.pdot(wr, wi))
+    return (ns + 1.0) * (0.5 * M_1_PI) * jnp.power(cos_a, ns)
