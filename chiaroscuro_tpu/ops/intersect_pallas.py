@@ -2,21 +2,24 @@
 
 The reference's innermost hot loop is Moller-Trumbore over kd-tree leaves
 (``src/kdtree.cpp:219-246``).  On TPU the equivalent dense formulation is a
-(ray_tile x tri_chunk) pairwise sweep living entirely in VMEM:
+pairwise (tri_chunk x ray_lane) sweep living entirely in VMEM.
 
-- Rays are tiled over the grid; each program owns ``RAY_TILE`` rays.
-- Triangle SoA columns (v0/e1/e2 per axis) stay resident in VMEM and are
-  streamed ``TRI_CHUNK`` at a time through a ``fori_loop`` inside the kernel,
-  with the running best (t, id, u, v) kept in VMEM scratch.
-- Every operand is laid out rank-2 ``(RAY_TILE, TRI_CHUNK)``: ray coordinates
-  broadcast down columns, triangle coordinates broadcast across rows, so the
-  whole Moller-Trumbore chain is aligned elementwise VPU work with a
-  128-multiple minor dimension — no HBM round-trips for intermediates (the
-  XLA version of the same sweep materializes (R, T) temporaries in HBM and
-  is bandwidth-bound).
+**Layout is planar-native** (see ``geometry/planar.py``): ray coordinates
+enter as ``(3, B0, 128)`` — component-major, 128 rays per lane row — and all
+results leave in the same layout, so the integrator <-> kernel boundary needs
+*zero* transposes.  (The previous row-major ``(R, 3)`` boundary showed up in
+profiles as ~3 ms/bounce of relayout fusions that used 3 of 128 lanes.)
 
-Triangle data is duplicated to (1, T) row vectors on the host side once per
-scene; ray coordinates enter as (R, 1) column vectors.
+Inside the kernel each grid step owns ``TILE_B`` rows of 128 rays; the
+pairwise Moller-Trumbore block is ``(C, 128)`` — triangle chunk on sublanes,
+rays on lanes — so every (8, 128) vector tile is fully utilized:
+
+- triangle SoA rows (``(T_pad, 9)``: v0|e1|e2 per axis) stay resident in
+  VMEM and stream ``C`` rows at a time through a ``fori_loop``;
+- the running best (t, id, u, v) is carried per ray row as (1, 128) vectors;
+- per-hit shading attributes are fetched in-kernel as a one-hot
+  ``(ATTR_K, C) @ (C, 128)`` matmul on the MXU (cheaper than XLA HBM
+  row-gathers of tiny (3,) rows).
 
 These kernels are exact drop-ins for the brute-force oracle
 (``geometry/intersect.py``) — same epsilon, same acceptance conditions, same
@@ -40,20 +43,20 @@ from chiaroscuro_tpu.scene.scene_arrays import SceneArrays
 FLT_EPS = np.float32(np.finfo(np.float32).eps)
 BIG = np.float32(3.0e38)
 
-RAY_TILE = 256
+TILE_B = 2                   # ray rows (of 128 lanes) per grid step
 MAX_TRI_CHUNK = 512          # VMEM working-set cap per inner iteration
 LANE = 128                   # TPU minor-dim alignment
 
 
 def _tri_chunk_for(n_tris: int) -> int:
     """Smallest lane-aligned chunk covering the scene, capped: tiny scenes
-    (cornell: 36 tris) pad to one 128-wide chunk instead of 512 — a 4x
+    (cornell: 36 tris) pad to one 128-row chunk instead of 512 — a 4x
     useful-work ratio improvement measured on-chip."""
     aligned = -(-max(n_tris, 1) // LANE) * LANE
     return min(MAX_TRI_CHUNK, aligned)
 
 
-# Shading-attribute matrix columns (padded to ATTR_K for MXU alignment).
+# Shading-attribute matrix rows (padded to ATTR_K for MXU alignment).
 ATTR_LAYOUT = {
     "v0": slice(0, 3),
     "e1": slice(3, 6),
@@ -72,11 +75,13 @@ ATTR_LAYOUT = {
 }
 ATTR_K = 32
 
+_INT_ATTRS = ("btype", "texid", "texid_ks")
+
 
 def _prep_attrs(scene, chunk):
-    """(T_pad, ATTR_K) f32 shading-attribute matrix, one row per triangle.
-    Fetched in-kernel as one-hot @ attrs (an MXU matmul) instead of per-field
-    HBM gathers.  Int columns (btype/texid) ride as exact small floats."""
+    """(ATTR_K, T_pad) f32 shading-attribute matrix, one *column* per
+    triangle (transposed for the in-kernel (ATTR_K, C) @ (C, 128) fetch).
+    Int columns (btype/texid) ride as exact small floats."""
     import numpy as _np
 
     T = scene.tri_v0.shape[0]
@@ -97,57 +102,48 @@ def _prep_attrs(scene, chunk):
     A[:T, ATTR_LAYOUT["ks"]] = _np.asarray(scene.ks)
     A[:T, ATTR_LAYOUT["ns"]] = _np.asarray(scene.shininess)[:, None]
     A[:T, ATTR_LAYOUT["texid_ks"]] = _np.asarray(scene.tex_id_ks)[:, None]
-    return jnp.asarray(A)
+    return jnp.asarray(A.T)
 
 
-def unpack_attrs(mat):
-    """(R, ATTR_K) kernel output -> dict of per-field arrays."""
+def unpack_attrs_planar(mat):
+    """(ATTR_K, B0, 128) kernel output -> dict of planar per-field arrays:
+    vec3 as (3, B0, 128), uv pairs as (2, B0, 128), scalars as (B0, 128)."""
     out = {}
     for name, sl in ATTR_LAYOUT.items():
-        col = mat[:, sl]
-        if name in ("btype", "texid", "texid_ks"):
-            out[name] = jnp.round(col[:, 0]).astype(jnp.int32)
+        col = mat[sl]
+        if name in _INT_ATTRS:
+            out[name] = jnp.round(col[0]).astype(jnp.int32)
         elif name == "ns":
-            out[name] = col[:, 0]
+            out[name] = col[0]
         else:
             out[name] = col
     return out
 
 
-def _pad_rays(x, tile):
-    n = x.shape[0]
-    pad = (-n) % tile
-    if pad:
-        x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
-    return x
-
-
 def _prep_tris(v0, v1, v2, chunk):
-    """Host-side packing: pad T to a chunk multiple, return (9, T) SoA rows
-    [v0x v0y v0z e1x e1y e1z e2x e2y e2z].  Padding rows are zero => the
-    determinant is 0 => padded triangles never hit."""
+    """Host-side packing: pad T to a chunk multiple, return (T_pad, 9) SoA
+    rows [v0x v0y v0z e1x e1y e1z e2x e2y e2z].  Padding rows are zero =>
+    the determinant is 0 => padded triangles never hit."""
     T = v0.shape[0]
     pad = (-T) % chunk
     z = jnp.zeros((pad, 3), v0.dtype)
     v0p = jnp.concatenate([v0, z])
     e1p = jnp.concatenate([v1 - v0, z])
     e2p = jnp.concatenate([v2 - v0, z])
-    soa = jnp.concatenate([v0p.T, e1p.T, e2p.T], axis=0)  # (9, T_pad)
-    return soa, T + pad
+    return jnp.concatenate([v0p, e1p, e2p], axis=1)  # (T_pad, 9)
 
 
-def _mt_block(o, d, tri):
-    """Moller-Trumbore on a (RAY_TILE, C) block.
+def _mt_core(o, d, v0, e1, e2):
+    """Moller-Trumbore, pure elementwise over broadcastable components.
 
-    o, d: tuples of (RAY_TILE, 1) ray coordinate columns.
-    tri: (9, C) SoA rows.
-    Returns (ok, t, u, v), each (RAY_TILE, C).
+    o, d: tuples of (1, 128) ray-coordinate rows; v0/e1/e2: tuples of (C, 1)
+    triangle-coordinate columns.  Returns (ok, t, u, v), each (C, 128).
     """
     ox, oy, oz = o
     dx, dy, dz = d
-    v0x, v0y, v0z = tri[0:1], tri[1:2], tri[2:3]
-    e1x, e1y, e1z = tri[3:4], tri[4:5], tri[5:6]
-    e2x, e2y, e2z = tri[6:7], tri[7:8], tri[8:9]
+    v0x, v0y, v0z = v0
+    e1x, e1y, e1z = e1
+    e2x, e2y, e2z = e2
 
     # p = cross(d, e2)
     px = dy * e2z - dz * e2y
@@ -179,87 +175,105 @@ def _mt_block(o, d, tri):
     return ok, t, u, v
 
 
+def _tri_cols(tri):
+    """(C, 9) chunk -> component column tuples v0, e1, e2 of (C, 1)."""
+    v0 = (tri[:, 0:1], tri[:, 1:2], tri[:, 2:3])
+    e1 = (tri[:, 3:4], tri[:, 4:5], tri[:, 5:6])
+    e2 = (tri[:, 6:7], tri[:, 7:8], tri[:, 8:9])
+    return v0, e1, e2
+
+
 def _closest_kernel(
-    o_ref, d_ref, tri_ref, attr_ref, t_ref, id_ref, u_ref, v_ref, attr_out,
+    o_ref, d_ref, tri_ref, attrT_ref, t_ref, id_ref, u_ref, v_ref, attr_out,
     *, chunk,
 ):
     C = chunk
-    n_chunks = tri_ref.shape[1] // C
+    n_chunks = tri_ref.shape[0] // C
+    TB = t_ref.shape[0]
+    AK = attr_out.shape[0]
 
-    o = (o_ref[:, 0:1], o_ref[:, 1:2], o_ref[:, 2:3])
-    d = (d_ref[:, 0:1], d_ref[:, 1:2], d_ref[:, 2:3])
-
-    col = jax.lax.broadcasted_iota(jnp.int32, (o_ref.shape[0], C), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (C, 128), 0)
+    ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]       # (TB, 128)
+    dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
 
     def body(j, carry):
-        best_t, best_id, best_u, best_v, best_attr = carry
-        tri = tri_ref[:, pl.ds(j * C, C)]
-        ok, t, u, v = _mt_block(o, d, tri)
-        t = jnp.where(ok, t, BIG)
-        # Lowest-id tie-break: argmin picks the first minimum in the chunk;
-        # strict < update keeps earlier chunks on inter-chunk ties.
-        tmin = jnp.min(t, axis=1, keepdims=True)                 # (R, 1)
-        is_min = t == tmin
-        idx = jnp.min(jnp.where(is_min, col, C), axis=1, keepdims=True)
-        sel = col == idx
-        cu = jnp.sum(jnp.where(sel, u, 0.0), axis=1, keepdims=True)
-        cv = jnp.sum(jnp.where(sel, v, 0.0), axis=1, keepdims=True)
-        cid = j * C + idx
-        better = tmin < best_t
-        # Shading-attribute fetch as a one-hot matmul on the MXU: sel is
-        # exactly one-hot per row, so sel @ attrs == attrs[best_id_in_chunk].
-        cattr = jnp.dot(
-            sel.astype(jnp.float32),
-            attr_ref[pl.ds(j * C, C), :],
-            preferred_element_type=jnp.float32,
-        )
-        return (
-            jnp.where(better, tmin, best_t),
-            jnp.where(better, cid, best_id),
-            jnp.where(better, cu, best_u),
-            jnp.where(better, cv, best_v),
-            jnp.where(better, cattr, best_attr),
-        )
+        tri = tri_ref[pl.ds(j * C, C), :]           # (C, 9)
+        v0, e1, e2 = _tri_cols(tri)
+        attrs_c = attrT_ref[:, pl.ds(j * C, C)]     # (AK, C)
+        out = []
+        for b in range(TB):
+            best_t, best_id, best_u, best_v, best_attr = carry[b]
+            o = (ox[b : b + 1], oy[b : b + 1], oz[b : b + 1])
+            d = (dx[b : b + 1], dy[b : b + 1], dz[b : b + 1])
+            ok, t, u, v = _mt_core(o, d, v0, e1, e2)
+            t = jnp.where(ok, t, BIG)
+            # Lowest-id tie-break: first minimum within the chunk; strict <
+            # update keeps earlier chunks on inter-chunk ties.
+            tmin = jnp.min(t, axis=0, keepdims=True)            # (1, 128)
+            is_min = t == tmin
+            idx = jnp.min(jnp.where(is_min, row, C), axis=0, keepdims=True)
+            sel = row == idx                                     # one-hot/col
+            cu = jnp.sum(jnp.where(sel, u, 0.0), axis=0, keepdims=True)
+            cv = jnp.sum(jnp.where(sel, v, 0.0), axis=0, keepdims=True)
+            cid = j * C + idx
+            # Shading-attribute fetch as a one-hot matmul on the MXU.
+            cattr = jnp.dot(
+                attrs_c,
+                sel.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )                                                    # (AK, 128)
+            better = tmin < best_t
+            out.append(
+                (
+                    jnp.where(better, tmin, best_t),
+                    jnp.where(better, cid, best_id),
+                    jnp.where(better, cu, best_u),
+                    jnp.where(better, cv, best_v),
+                    jnp.where(better, cattr, best_attr),
+                )
+            )
+        return tuple(out)
 
-    R = o_ref.shape[0]
-    init = (
-        jnp.full((R, 1), BIG, jnp.float32),
-        jnp.zeros((R, 1), jnp.int32),
-        jnp.zeros((R, 1), jnp.float32),
-        jnp.zeros((R, 1), jnp.float32),
-        jnp.zeros((R, attr_out.shape[1]), jnp.float32),
+    init = tuple(
+        (
+            jnp.full((1, 128), BIG, jnp.float32),
+            jnp.zeros((1, 128), jnp.int32),
+            jnp.zeros((1, 128), jnp.float32),
+            jnp.zeros((1, 128), jnp.float32),
+            jnp.zeros((AK, 128), jnp.float32),
+        )
+        for _ in range(TB)
     )
-    best_t, best_id, best_u, best_v, best_attr = jax.lax.fori_loop(
-        0, n_chunks, body, init
-    )
-    t_ref[:, :] = best_t
-    id_ref[:, :] = best_id
-    u_ref[:, :] = best_u
-    v_ref[:, :] = best_v
-    attr_out[:, :] = best_attr
+    carry = jax.lax.fori_loop(0, n_chunks, body, init)
+    for b in range(TB):
+        bt, bi, bu, bv, ba = carry[b]
+        t_ref[b : b + 1, :] = bt
+        id_ref[b : b + 1, :] = bi
+        u_ref[b : b + 1, :] = bu
+        v_ref[b : b + 1, :] = bv
+        attr_out[:, b, :] = ba
 
 
 @partial(jax.jit, static_argnames=("chunk", "interpret"))
-def _closest_call(origins, dirs, tri_soa, attrs, chunk, interpret=False):
-    R = origins.shape[0]
-    n_tiles = R // RAY_TILE
-    grid = (n_tiles,)
-    out_shape = [
-        jax.ShapeDtypeStruct((R, 1), jnp.float32),
-        jax.ShapeDtypeStruct((R, 1), jnp.int32),
-        jax.ShapeDtypeStruct((R, 1), jnp.float32),
-        jax.ShapeDtypeStruct((R, 1), jnp.float32),
-        jax.ShapeDtypeStruct((R, ATTR_K), jnp.float32),
-    ]
+def _closest_call(o3, d3, tri_rows, attrT, chunk, interpret=False):
+    B0 = o3.shape[1]
+    grid = (B0 // TILE_B,)
     ray_spec = pl.BlockSpec(
-        (RAY_TILE, 3), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (3, TILE_B, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
-    out_spec = pl.BlockSpec(
-        (RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+    scal_spec = pl.BlockSpec(
+        (TILE_B, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    attr_out_spec = pl.BlockSpec(
-        (RAY_TILE, ATTR_K), lambda i: (i, 0), memory_space=pltpu.VMEM
+    attr_spec = pl.BlockSpec(
+        (ATTR_K, TILE_B, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
+    out_shape = [
+        jax.ShapeDtypeStruct((B0, 128), jnp.float32),
+        jax.ShapeDtypeStruct((B0, 128), jnp.int32),
+        jax.ShapeDtypeStruct((B0, 128), jnp.float32),
+        jax.ShapeDtypeStruct((B0, 128), jnp.float32),
+        jax.ShapeDtypeStruct((ATTR_K, B0, 128), jnp.float32),
+    ]
     return pl.pallas_call(
         partial(_closest_kernel, chunk=chunk),
         grid=grid,
@@ -267,60 +281,100 @@ def _closest_call(origins, dirs, tri_soa, attrs, chunk, interpret=False):
         in_specs=[
             ray_spec,
             ray_spec,
-            pl.BlockSpec(tri_soa.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(attrs.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                tri_rows.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                attrT.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
         ],
-        out_specs=[out_spec] * 4 + [attr_out_spec],
+        out_specs=[scal_spec] * 4 + [attr_spec],
         interpret=interpret,
-    )(origins, dirs, tri_soa, attrs)
+    )(o3, d3, tri_rows, attrT)
 
 
 def _any_kernel(o_ref, d_ref, tmax_ref, excl_ref, tri_ref, occ_ref, *, chunk):
     C = chunk
-    n_chunks = tri_ref.shape[1] // C
+    n_chunks = tri_ref.shape[0] // C
+    TB = occ_ref.shape[0]
 
-    o = (o_ref[:, 0:1], o_ref[:, 1:2], o_ref[:, 2:3])
-    d = (d_ref[:, 0:1], d_ref[:, 1:2], d_ref[:, 2:3])
-    tmax = tmax_ref[:, :]
-    excl = excl_ref[:, :]
-    col = jax.lax.broadcasted_iota(jnp.int32, (o_ref.shape[0], C), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (C, 128), 0)
+    ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]
+    dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
 
-    def body(j, occ):
-        tri = tri_ref[:, pl.ds(j * C, C)]
-        ok, t, _, _ = _mt_block(o, d, tri)
-        ids = j * C + col
-        blocking = ok & (t < tmax) & (ids != excl)
-        return occ | jnp.any(blocking, axis=1, keepdims=True)
+    def body(j, occs):
+        tri = tri_ref[pl.ds(j * C, C), :]
+        v0, e1, e2 = _tri_cols(tri)
+        ids = j * C + row
+        out = []
+        for b in range(TB):
+            o = (ox[b : b + 1], oy[b : b + 1], oz[b : b + 1])
+            d = (dx[b : b + 1], dy[b : b + 1], dz[b : b + 1])
+            ok, t, _, _ = _mt_core(o, d, v0, e1, e2)
+            blocking = (
+                ok
+                & (t < tmax_ref[b : b + 1, :])
+                & (ids != excl_ref[b : b + 1, :])
+            )
+            out.append(occs[b] | jnp.any(blocking, axis=0, keepdims=True))
+        return tuple(out)
 
-    R = o_ref.shape[0]
-    occ = jax.lax.fori_loop(0, n_chunks, body, jnp.zeros((R, 1), bool))
-    occ_ref[:, :] = occ
+    occs = jax.lax.fori_loop(
+        0,
+        n_chunks,
+        body,
+        tuple(jnp.zeros((1, 128), bool) for _ in range(TB)),
+    )
+    for b in range(TB):
+        occ_ref[b : b + 1, :] = occs[b]
 
 
 @partial(jax.jit, static_argnames=("chunk", "interpret"))
-def _any_call(origins, dirs, tmax, excl, tri_soa, chunk, interpret=False):
-    R = origins.shape[0]
-    grid = (R // RAY_TILE,)
+def _any_call(o3, d3, tmax, excl, tri_rows, chunk, interpret=False):
+    B0 = o3.shape[1]
+    grid = (B0 // TILE_B,)
     ray_spec = pl.BlockSpec(
-        (RAY_TILE, 3), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (3, TILE_B, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
-    col_spec = pl.BlockSpec(
-        (RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+    scal_spec = pl.BlockSpec(
+        (TILE_B, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
         partial(_any_kernel, chunk=chunk),
         grid=grid,
-        out_shape=jax.ShapeDtypeStruct((R, 1), jnp.bool_),
+        out_shape=jax.ShapeDtypeStruct((B0, 128), jnp.bool_),
         in_specs=[
             ray_spec,
             ray_spec,
-            col_spec,
-            col_spec,
-            pl.BlockSpec(tri_soa.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            scal_spec,
+            scal_spec,
+            pl.BlockSpec(
+                tri_rows.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
         ],
-        out_specs=col_spec,
+        out_specs=scal_spec,
         interpret=interpret,
-    )(origins, dirs, tmax, excl, tri_soa)
+    )(o3, d3, tmax, excl, tri_rows)
+
+
+def _pad_planar_rows(x, mult, axis):
+    """Pad a planar array's B0 axis to a multiple of ``mult`` with replicas
+    of the first row (replicas can't create degenerate configs)."""
+    n = x.shape[axis]
+    pad = (-n) % mult
+    if pad:
+        first = jnp.take(x, jnp.zeros(pad, jnp.int32), axis=axis)
+        x = jnp.concatenate([x, first], axis=axis)
+    return x
+
+
+def _rows_to_planar(rows):
+    """(R, 3) -> ((3, B0, 128), R) padded to a 128 multiple."""
+    R = rows.shape[0]
+    pad = (-R) % 128
+    if pad:
+        rows = jnp.concatenate([rows, rows[:1].repeat(pad, 0)])
+    return rows.T.reshape(3, -1, 128), R
 
 
 def make_pallas_intersectors(
@@ -328,34 +382,74 @@ def make_pallas_intersectors(
 ) -> Tuple[ClosestFn, AnyFn]:
     """Brute-force Pallas intersectors over the scene's triangles.
 
-    ``interpret=None`` auto-selects interpreter mode off-TPU (tests on CPU).
+    Returns the row-major ``(R, 3)`` oracle-compatible interface; each
+    function additionally carries a ``.planar_fn`` attribute speaking the
+    planar ``(3, B0, 128)`` layout directly (used by the integrator to avoid
+    relayouts).  ``interpret=None`` auto-selects interpreter mode off-TPU
+    (tests on CPU).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
     chunk = _tri_chunk_for(scene.n_tris)
-    tri_soa, _ = _prep_tris(scene.tri_v0, scene.tri_v1, scene.tri_v2, chunk)
-    attr_mat = _prep_attrs(scene, chunk)
+    tri_rows = _prep_tris(scene.tri_v0, scene.tri_v1, scene.tri_v2, chunk)
+    attrT = _prep_attrs(scene, chunk)
+
+    def closest_planar(o3, d3) -> ClosestHit:
+        B0 = o3.shape[1]
+        o3p = _pad_planar_rows(o3, TILE_B, 1)
+        d3p = _pad_planar_rows(d3, TILE_B, 1)
+        t, tid, u, v, am = _closest_call(
+            o3p, d3p, tri_rows, attrT, chunk, interpret=interpret
+        )
+        t, tid, u, v, am = t[:B0], tid[:B0], u[:B0], v[:B0], am[:, :B0]
+        return ClosestHit(t < BIG, t, tid, u, v, unpack_attrs_planar(am))
+
+    def any_planar(o3, d3, tmax, excl):
+        B0 = o3.shape[1]
+        o3p = _pad_planar_rows(o3, TILE_B, 1)
+        d3p = _pad_planar_rows(d3, TILE_B, 1)
+        tm = _pad_planar_rows(tmax, TILE_B, 0)
+        ex = _pad_planar_rows(excl.astype(jnp.int32), TILE_B, 0)
+        occ = _any_call(o3p, d3p, tm, ex, tri_rows, chunk, interpret=interpret)
+        return occ[:B0]
+
+    def _flat(x, R):
+        return x.reshape(-1)[:R]
 
     def closest_fn(origins, dirs) -> ClosestHit:
-        R = origins.shape[0]
-        o = _pad_rays(origins, RAY_TILE)
-        d = _pad_rays(dirs, RAY_TILE)
-        t, tid, u, v, am = _closest_call(
-            o, d, tri_soa, attr_mat, chunk, interpret=interpret
-        )
-        t = t[:R, 0]
+        o3, R = _rows_to_planar(origins)
+        d3, _ = _rows_to_planar(dirs)
+        res = closest_planar(o3, d3)
+        attrs = {}
+        for k, pv in res.attrs.items():
+            if pv.ndim == 3:                       # planar (w, B0, 128)
+                attrs[k] = pv.reshape(pv.shape[0], -1).T[:R]
+            else:
+                attrs[k] = _flat(pv, R)
         return ClosestHit(
-            t < BIG, t, tid[:R, 0], u[:R, 0], v[:R, 0], unpack_attrs(am[:R])
+            _flat(res.hit, R),
+            _flat(res.t, R),
+            _flat(res.tid, R),
+            _flat(res.u, R),
+            _flat(res.v, R),
+            attrs,
         )
 
     def any_fn(origins, dirs, tmax, exclude_id):
-        R = origins.shape[0]
-        o = _pad_rays(origins, RAY_TILE)
-        d = _pad_rays(dirs, RAY_TILE)
-        tm = _pad_rays(tmax.reshape(-1, 1), RAY_TILE)
-        ex = _pad_rays(exclude_id.reshape(-1, 1).astype(jnp.int32), RAY_TILE)
-        occ = _any_call(o, d, tm, ex, tri_soa, chunk, interpret=interpret)
-        return occ[:R, 0]
+        o3, R = _rows_to_planar(origins)
+        d3, _ = _rows_to_planar(dirs)
+        pad = (-R) % 128
+        if pad:
+            tmax = jnp.concatenate([tmax, tmax[:1].repeat(pad, 0)])
+            exclude_id = jnp.concatenate(
+                [exclude_id, exclude_id[:1].repeat(pad, 0)]
+            )
+        occ = any_planar(
+            o3, d3, tmax.reshape(-1, 128), exclude_id.reshape(-1, 128)
+        )
+        return _flat(occ, R)
 
+    closest_fn.planar_fn = closest_planar
+    any_fn.planar_fn = any_planar
     return closest_fn, any_fn

@@ -115,6 +115,27 @@ def texture_ks_lookup(scene: SceneArrays, tid, u, v):
     )
 
 
+def _atlas_fetch_planar(scene: SceneArrays, tex_id, uvp, fallback):
+    """Planar-layout :func:`_atlas_fetch`: tex_id (B0, 128), uvp (2, B0, 128),
+    fallback (3, B0, 128).  Texels gathered from the transposed atlas so the
+    result lands planar without a relayout."""
+    if scene.tex_data.shape[0] <= 1:
+        return fallback
+    safe_id = jnp.maximum(tex_id, 0)
+    tw = scene.tex_width[safe_id]
+    th = scene.tex_height[safe_id]
+    off = scene.tex_offset[safe_id]
+
+    def wrap(c):
+        f = c - jnp.floor(c)
+        return jnp.where((f == 0.0) & (c > 0.0), 1.0, f)
+
+    x = jnp.minimum((wrap(uvp[0]) * tw).astype(jnp.int32), tw - 1)
+    y = jnp.minimum((wrap(uvp[1]) * th).astype(jnp.int32), th - 1)
+    texel = scene.tex_data.T[:, off + y * tw + x]     # (3, B0, 128)
+    return jnp.where((tex_id >= 0)[None], texel, fallback)
+
+
 def trace_paths(
     scene: SceneArrays,
     origins: jax.Array,       # (R, 3) ray origins (camera eye, broadcast)
@@ -149,6 +170,13 @@ def trace_paths(
 
     n_lights = scene.n_lights
     bg = background[:, None, None]  # (3, 1, 1)
+    textured = scene.tex_data.shape[0] > 1
+
+    # Planar-native intersectors (Pallas) avoid the (R, 3) <-> (3, B0, 128)
+    # relayout at every kernel boundary; row-major intersectors (brute-force
+    # oracle, BVH) are wrapped with explicit conversions below.
+    closest_planar = getattr(closest_fn, "planar_fn", None)
+    any_planar = getattr(any_fn, "planar_fn", None)
 
     if n_lights > 0:
         # Compact per-light table, derived *inside the traced graph* (so
@@ -170,62 +198,90 @@ def trace_paths(
     def bounce(state, k):
         origin, direction, throughput, radiance, active = state
 
-        res = closest_fn(P.to_rows(origin), P.to_rows(direction))
-        hit, tid = r2(res.hit), res.tid
-        bu, bv = r2(res.u), r2(res.v)
-        hit = hit & active
+        # Closest-hit + hit resolution (rayTracer.cpp:148-166).  Planar-native
+        # intersectors (Pallas) return everything already in (.., B0, 128)
+        # layout with shading attributes pre-fetched in-kernel; row-major
+        # intersectors get explicit conversions at the boundary.
+        if closest_planar is not None:
+            res = closest_planar(origin, direction)
+            hit = res.hit & active
+            bu, bv = res.u, res.v
+            A = res.attrs
+            # v0*(1-u-v) + v1*u + v2*v == v0 + u*e1 + v*e2 algebraically;
+            # fp association differs at ~ulp scale.
+            point = A["v0"] + P.pscale(bu, A["e1"]) + P.pscale(bv, A["e2"])
+            normal = A["normal"]
+            ke_hit = A["ke"]
+            btype = A["btype"]
+            if textured:
+                uvp = (
+                    A["uv0"] * (1.0 - bu - bv)[None]
+                    + A["uv1"] * bu[None]
+                    + A["uv2"] * bv[None]
+                )
+                kd = _atlas_fetch_planar(scene, A["texid"], uvp, A["kd"])
+            else:
+                kd = A["kd"]
+            if scene.has_specular:
+                ks = (
+                    _atlas_fetch_planar(scene, A["texid_ks"], uvp, A["ks"])
+                    if textured
+                    else A["ks"]
+                )
+                ns = A["ns"]
+        else:
+            res = closest_fn(P.to_rows(origin), P.to_rows(direction))
+            hit, tid = r2(res.hit), res.tid
+            bu, bv = r2(res.u), r2(res.v)
+            hit = hit & active
+            A = res.attrs
+
+            def pv(rows3):  # (R, 3) -> (3, R/128, 128)
+                return P.to_planar(rows3, B)
+
+            if A is not None:
+                AT = {
+                    kk: (pv(vv) if vv.ndim == 2 and vv.shape[1] == 3 else vv)
+                    for kk, vv in A.items()
+                }
+                point = (
+                    AT["v0"] + P.pscale(bu, AT["e1"]) + P.pscale(bv, AT["e2"])
+                )
+                normal = AT["normal"]
+                uv_hit = (
+                    A["uv0"] * (1.0 - res.u - res.v)[:, None]
+                    + A["uv1"] * res.u[:, None]
+                    + A["uv2"] * res.v[:, None]
+                )
+                kd = pv(_atlas_fetch(scene, A["texid"], uv_hit, A["kd"]))
+                ke_hit = AT["ke"]
+                btype = r2(A["btype"])
+                if scene.has_specular:
+                    ks = pv(_atlas_fetch(scene, A["texid_ks"], uv_hit, A["ks"]))
+                    ns = r2(A["ns"])
+            else:
+                point = pv(
+                    scene.tri_v0[tid] * (1.0 - res.u - res.v)[:, None]
+                    + scene.tri_v1[tid] * res.u[:, None]
+                    + scene.tri_v2[tid] * res.v[:, None]
+                )
+                normal = pv(scene.normal[tid])
+                kd = pv(texture_kd_lookup(scene, tid, res.u, res.v))
+                ke_hit = pv(scene.ke[tid])
+                btype = r2(scene.brdf_type[tid])
+                if scene.has_specular:
+                    ks = pv(texture_ks_lookup(scene, tid, res.u, res.v))
+                    ns = r2(scene.shininess[tid])
 
         # Miss -> background, terminate (rayTracer.cpp:134).
         radiance = radiance + P.pwhere(active & ~hit, throughput * bg, 0.0)
 
-        # Hit resolution (rayTracer.cpp:148-166).  When the intersector
-        # pre-fetched shading attributes in-kernel (MXU one-hot matmul; see
-        # ops/intersect_pallas.py), use them; otherwise gather by tid.
-        w = 1.0 - bu - bv
-        A = res.attrs
-
-        def pv(rows3):  # (R, 3) -> (3, R/128, 128)
-            return P.to_planar(rows3, B)
-
-        if A is not None:
-            AT = {
-                kk: (pv(vv) if vv.ndim == 2 and vv.shape[1] == 3 else vv)
-                for kk, vv in A.items()
-            }
-            # v0*(1-u-v) + v1*u + v2*v == v0 + u*e1 + v*e2 algebraically;
-            # fp association differs at ~ulp scale.
-            point = AT["v0"] + P.pscale(bu, AT["e1"]) + P.pscale(bv, AT["e2"])
-            normal = AT["normal"]
-            uv_hit = (
-                A["uv0"] * (1.0 - res.u - res.v)[:, None]
-                + A["uv1"] * res.u[:, None]
-                + A["uv2"] * res.v[:, None]
-            )
-            kd = pv(_atlas_fetch(scene, A["texid"], uv_hit, A["kd"]))
-            ke_hit = AT["ke"]
-            btype = r2(A["btype"])
-        else:
-            point = pv(
-                scene.tri_v0[tid] * (1.0 - res.u - res.v)[:, None]
-                + scene.tri_v1[tid] * res.u[:, None]
-                + scene.tri_v2[tid] * res.v[:, None]
-            )
-            normal = pv(scene.normal[tid])
-            kd = pv(texture_kd_lookup(scene, tid, res.u, res.v))
-            ke_hit = pv(scene.ke[tid])
-            btype = r2(scene.brdf_type[tid])
         wo = P.pnormalize(origin - point)
         f_brdf = kd * M_1_PI  # Diffuse::f (brdf.cpp:70)
 
         if scene.has_specular:
             # Phong extension state (never active in reference-parity mode).
             is_phong = btype == BRDF_PHONG
-            if A is not None:
-                ks = pv(_atlas_fetch(scene, A["texid_ks"], uv_hit, A["ks"]))
-                ns = r2(A["ns"])
-            else:
-                ks = pv(texture_ks_lookup(scene, tid, res.u, res.v))
-                ns = r2(scene.shininess[tid])
             n_unit = P.pnormalize(normal)
             wr = reflect_planar(wo, n_unit)
             spec_norm = (ns + 2.0) * (0.5 * M_1_PI)
@@ -250,7 +306,7 @@ def trace_paths(
                 (un[:, prng.DIM_LIGHT_SEL] * n_lights).astype(jnp.int32),
                 n_lights - 1,
             )
-            ltid = scene.light_ids[li_flat]
+            ltid = r2(scene.light_ids[li_flat])
             if n_lights <= 512:
                 onehot = (
                     jnp.arange(n_lights, dtype=jnp.int32)[:, None]
@@ -282,14 +338,19 @@ def trace_paths(
             dist = P.pnorm(to_light)
             wl = P.pnormalize(to_light)
 
-            occluded = r2(
-                any_fn(
-                    P.to_rows(point + EPS_OFFSET * normal),
-                    P.to_rows(wl),
-                    dist.reshape(-1),
-                    ltid,
+            if any_planar is not None:
+                occluded = any_planar(
+                    point + EPS_OFFSET * normal, wl, dist, ltid
                 )
-            )
+            else:
+                occluded = r2(
+                    any_fn(
+                        P.to_rows(point + EPS_OFFSET * normal),
+                        P.to_rows(wl),
+                        dist.reshape(-1),
+                        ltid.reshape(-1),
+                    )
+                )
 
             geometric = jnp.maximum(
                 0.0,
