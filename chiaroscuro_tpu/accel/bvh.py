@@ -208,11 +208,56 @@ def _build_host(
     )
 
 
-def build_bvh(scene: SceneArrays, leaf_size: int = 8) -> BVHArrays:
+def _build_host_native(v0, v1, v2, leaf_size):
+    """C++ builder (native/bvh_builder.cpp) via ctypes; same layout and split
+    policy as :func:`_build_host`.  Returns None if the library is missing."""
+    from chiaroscuro_tpu.native import bvh_lib
+
+    lib = bvh_lib()
+    if lib is None:
+        return None
+    import ctypes
+
+    T = len(v0)
+    cap = 2 * max(T, 1)
+    bmin = np.empty((cap, 3), np.float32)
+    bmax = np.empty((cap, 3), np.float32)
+    miss = np.empty(cap, np.int32)
+    ls = np.empty(cap, np.int32)
+    lc = np.empty(cap, np.int32)
+    order = np.empty(max(T, 1), np.int32)
+    n_nodes = np.zeros(1, np.int32)
+
+    def fp(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+    def ip(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    c0 = np.ascontiguousarray(v0, np.float32)
+    c1 = np.ascontiguousarray(v1, np.float32)
+    c2 = np.ascontiguousarray(v2, np.float32)
+    rc = lib.bvh_build(
+        fp(c0), fp(c1), fp(c2), T, leaf_size,
+        fp(bmin), fp(bmax), ip(miss), ip(ls), ip(lc), ip(order),
+        ip(n_nodes),
+    )
+    if rc != 0:
+        return None
+    n = int(n_nodes[0])
+    return bmin[:n], bmax[:n], miss[:n], ls[:n], lc[:n], order[:T]
+
+
+def build_bvh(
+    scene: SceneArrays, leaf_size: int = 8, native: bool = True
+) -> BVHArrays:
     v0 = np.asarray(scene.tri_v0)
     v1 = np.asarray(scene.tri_v1)
     v2 = np.asarray(scene.tri_v2)
-    bmin, bmax, miss, ls, lc, order = _build_host(v0, v1, v2, leaf_size)
+    built = _build_host_native(v0, v1, v2, leaf_size) if native else None
+    if built is None:
+        built = _build_host(v0, v1, v2, leaf_size)
+    bmin, bmax, miss, ls, lc, order = built
 
     # Pad tri_order to a multiple of leaf_size with a degenerate slot so the
     # fixed-width leaf gather never reads OOB.

@@ -166,3 +166,24 @@ def test_render_with_bvh_close_to_brute(cornell):
         render_image(scene, cfg, intersectors=make_bvh_intersectors(scene, bvh))
     )
     np.testing.assert_allclose(bvh_img, brute, rtol=1e-4, atol=1e-5)
+
+
+def test_native_builder_matches_numpy():
+    """The C++ builder (native/bvh_builder.cpp) reproduces the numpy
+    builder's exact flattened layout on random geometry."""
+    from chiaroscuro_tpu.accel.bvh import _build_host, _build_host_native
+
+    rng = np.random.default_rng(7)
+    T = 500
+    v0 = rng.uniform(-2, 2, (T, 3)).astype(np.float32)
+    v1 = (v0 + rng.uniform(-0.3, 0.3, (T, 3))).astype(np.float32)
+    v2 = (v0 + rng.uniform(-0.3, 0.3, (T, 3))).astype(np.float32)
+
+    nat = _build_host_native(v0, v1, v2, 8)
+    assert nat is not None, "native BVH library failed to build"
+    ref = _build_host(v0, v1, v2, 8)
+
+    names = ["bbox_min", "bbox_max", "miss_link", "leaf_start",
+             "leaf_count", "tri_order"]
+    for name, a, b in zip(names, nat, ref):
+        np.testing.assert_array_equal(a, b, err_msg=name)
