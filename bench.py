@@ -13,6 +13,11 @@ the reference-class CPU path tracer: ~5e6 ray queries/sec on a multicore CPU
 (OpenMP, kd-tree; typical for 2-4 GHz x 8 threads on simple diffuse scenes).
 vs_baseline = value / 5e6.
 
+Robustness: the measurement runs in a *subprocess* per intersector backend
+(Pallas first, pure-XLA brute force as fallback) with a wall-clock budget —
+a wedged TPU-tunnel compile can otherwise hang a single-process bench
+forever.  The orchestrator itself never imports jax.
+
 Extra diagnostics (stderr): per-config timings, fwd+bwd wall-clock for the
 differentiable path (cornell 512x512), matching BASELINE.json's
 "cornell_box 512x512 fwd+bwd ms" metric.
@@ -21,12 +26,9 @@ differentiable path (cornell 512x512), matching BASELINE.json's
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
 
 CPU_BASELINE_RAYS_PER_SEC = 5.0e6
 
@@ -44,11 +46,18 @@ def build():
     return scene, cam
 
 
-def bench_forward(scene, cam, xres=512, yres=512, spp=16, depth=3, iters=3):
+def bench_forward(
+    scene, cam, intersector="auto", xres=512, yres=512, spp=16, depth=3,
+    iters=3,
+):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from chiaroscuro_tpu.accel import make_intersectors
     from chiaroscuro_tpu.render.renderer import render_samples
 
-    closest_fn, any_fn = make_intersectors(scene, "auto")
+    closest_fn, any_fn = make_intersectors(scene, intersector)
     ys, xs = np.meshgrid(
         np.arange(yres, dtype=np.int32),
         np.arange(xres, dtype=np.int32),
@@ -71,7 +80,7 @@ def bench_forward(scene, cam, xres=512, yres=512, spp=16, depth=3, iters=3):
     # Warmup/compile.
     t0 = time.perf_counter()
     frame(scene, jnp.int32(0)).block_until_ready()
-    log(f"compile+first run: {time.perf_counter() - t0:.2f}s")
+    log(f"[{intersector}] compile+first run: {time.perf_counter() - t0:.2f}s")
 
     times = []
     for i in range(iters):
@@ -84,13 +93,18 @@ def bench_forward(scene, cam, xres=512, yres=512, spp=16, depth=3, iters=3):
     # queries + `depth` shadow queries (masked lanes still execute).
     queries = xres * yres * spp * depth * 2
     rays_per_sec = queries / dt
-    log(f"forward {xres}x{yres} @ {spp}spp depth={depth}: "
+    log(f"[{intersector}] forward {xres}x{yres} @ {spp}spp depth={depth}: "
         f"{dt * 1e3:.1f} ms -> {rays_per_sec / 1e6:.1f} Mray-queries/s")
     return rays_per_sec, dt
 
 
-def bench_fwd_bwd(scene, cam, xres=512, yres=512, spp=4, depth=3):
+def bench_fwd_bwd(scene, cam, intersector="auto", xres=512, yres=512, spp=4,
+                  depth=3):
     import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
 
     from chiaroscuro_tpu.accel import make_intersectors
     from chiaroscuro_tpu.render.renderer import render_samples
@@ -108,7 +122,7 @@ def bench_fwd_bwd(scene, cam, xres=512, yres=512, spp=4, depth=3):
 
     def loss_fn(params, scene):
         s = dataclasses.replace(scene, **params)
-        closest_fn, any_fn = make_intersectors(s, "auto")
+        closest_fn, any_fn = make_intersectors(s, intersector)
         img = render_samples(
             s, eye, center, up, jnp.float32(cam["yview"]),
             xres, yres, px, py, jnp.int32(0), spp, jnp.uint32(0), depth,
@@ -131,26 +145,63 @@ def bench_fwd_bwd(scene, cam, xres=512, yres=512, spp=4, depth=3):
     return dt
 
 
-def main():
+def _metric_line(rays_per_sec: float) -> str:
+    return json.dumps(
+        {
+            "metric": "cornell_512x512_ray_queries_per_sec",
+            "value": rays_per_sec,
+            "unit": "rays/s",
+            "vs_baseline": rays_per_sec / CPU_BASELINE_RAYS_PER_SEC,
+        }
+    )
+
+
+def worker(intersector: str) -> None:
+    import jax
+
     log(f"devices: {jax.devices()}")
     scene, cam = build()
-
-    rays_per_sec, _ = bench_forward(scene, cam)
+    rays_per_sec, _ = bench_forward(scene, cam, intersector)
     try:
-        bench_fwd_bwd(scene, cam)
+        bench_fwd_bwd(scene, cam, intersector)
     except Exception as e:  # diagnostics only — never break the metric line
         log(f"fwd+bwd bench failed: {e}")
+    print(_metric_line(rays_per_sec))
 
-    print(
-        json.dumps(
-            {
-                "metric": "cornell_512x512_ray_queries_per_sec",
-                "value": rays_per_sec,
-                "unit": "rays/s",
-                "vs_baseline": rays_per_sec / CPU_BASELINE_RAYS_PER_SEC,
-            }
-        )
-    )
+
+def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "--worker":
+        worker(sys.argv[2])
+        return
+
+    me = os.path.abspath(__file__)
+    attempts = (("auto", 2100), ("brute", 1200))
+    for intersector, budget in attempts:
+        import subprocess
+
+        log(f"bench attempt: intersector={intersector} budget={budget}s")
+        try:
+            r = subprocess.run(
+                [sys.executable, "-u", me, "--worker", intersector],
+                timeout=budget,
+                capture_output=True,
+                text=True,
+            )
+        except subprocess.TimeoutExpired as e:
+            log(f"bench[{intersector}] timed out after {budget}s; "
+                f"stderr tail: {(e.stderr or '')[-500:]}")
+            continue
+        sys.stderr.write(r.stderr[-4000:])
+        for line in reversed(r.stdout.strip().splitlines()):
+            try:
+                json.loads(line)
+            except ValueError:
+                continue
+            print(line)
+            return
+        log(f"bench[{intersector}] produced no metric (exit {r.returncode})")
+    # Every backend failed — emit an explicit zero so the run is recorded.
+    print(_metric_line(0.0))
 
 
 if __name__ == "__main__":

@@ -54,3 +54,13 @@ def primary_ray_dirs(left_upper, dx, dy, px, py, jx, jy):
     cx = (px + jx)[..., None]
     cy = (py + jy)[..., None]
     return left_upper + cx * dx + cy * dy
+
+
+def primary_ray_dirs_planar(left_upper, dx, dy, px, py, jx, jy):
+    """Planar :func:`primary_ray_dirs`: px/py/jx/jy shaped B ->
+    (3, *B) component-major directions (see geometry/planar.py)."""
+    cx = (px + jx)[None]
+    cy = (py + jy)[None]
+    nd = cx.ndim - 1
+    exp = (slice(None),) + (None,) * nd
+    return left_upper[exp] + cx * dx[exp] + cy * dy[exp]

@@ -43,7 +43,9 @@ from chiaroscuro_tpu.scene.scene_arrays import SceneArrays
 FLT_EPS = np.float32(np.finfo(np.float32).eps)
 BIG = np.float32(3.0e38)
 
-TILE_B = 2                   # ray rows (of 128 lanes) per grid step
+TILE_B = 8                   # ray rows (of 128 lanes) per grid step; the
+                             # Mosaic lowering requires the sublane block dim
+                             # to be a multiple of 8
 MAX_TRI_CHUNK = 512          # VMEM working-set cap per inner iteration
 LANE = 128                   # TPU minor-dim alignment
 

@@ -140,19 +140,14 @@ def trace_paths(
     scene: SceneArrays,
     origins: jax.Array,       # (R, 3) ray origins (camera eye, broadcast)
     dirs: jax.Array,          # (R, 3) primary directions (may be unnormalized)
-    keys: jax.Array,          # (R, 2/4) per-(pixel,sample) PRNG keys
+    keys: jax.Array,          # (R, 2) per-(pixel,sample) u32 PRNG keys
     depth: int,               # scene.k — max path vertices
     background: jax.Array,    # (3,)
     closest_fn: ClosestFn,
     any_fn: AnyFn,
 ) -> jax.Array:
-    """Estimate radiance for R primary rays. Returns (R, 3).
-
-    All per-ray state is kept **2-D over the ray axis** — scalars as
-    (R/128, 128), vec3 as planar (3, R/128, 128) — for full (8, 128)-tile
-    utilization on the TPU VPU (see geometry/planar.py).  Intersectors keep
-    the row-major (R, 3) interface; conversion happens at the call boundary.
-    """
+    """Estimate radiance for R primary rays (row-major convenience wrapper
+    around :func:`trace_paths_planar`).  Returns (R, 3)."""
     R = origins.shape[0]
     pad = (-R) % 128
     if pad:
@@ -162,10 +157,43 @@ def trace_paths(
         origins = jnp.concatenate([origins, origins[:1].repeat(pad, 0)])
         dirs = jnp.concatenate([dirs, dirs[:1].repeat(pad, 0)])
         keys = jnp.concatenate([keys, keys[:1].repeat(pad, 0)])
-    Rp = R + pad
-    B = (Rp // 128, 128)
+    B = ((R + pad) // 128, 128)
+    radiance = trace_paths_planar(
+        scene,
+        P.to_planar(origins, B),
+        P.to_planar(dirs, B),
+        keys[:, 0].reshape(B),
+        keys[:, 1].reshape(B),
+        depth,
+        background,
+        closest_fn,
+        any_fn,
+    )
+    return P.to_rows(radiance)[:R]
 
-    def r2(x):  # per-ray scalar -> (R/128, 128)
+
+def trace_paths_planar(
+    scene: SceneArrays,
+    origins: jax.Array,       # (3, B0, 128) planar ray origins
+    dirs: jax.Array,          # (3, B0, 128) planar primary directions
+    k0: jax.Array,            # (B0, 128) u32 per-(pixel,sample) key word 0
+    k1: jax.Array,            # (B0, 128) u32 key word 1
+    depth: int,               # scene.k — max path vertices
+    background: jax.Array,    # (3,)
+    closest_fn: ClosestFn,
+    any_fn: AnyFn,
+) -> jax.Array:
+    """Estimate radiance for a planar wavefront. Returns (3, B0, 128).
+
+    All per-ray state is kept **2-D over the ray axis** — scalars as
+    (B0, 128), vec3 as planar (3, B0, 128) — for full (8, 128)-tile
+    utilization on the TPU VPU (see geometry/planar.py).  Planar-native
+    intersectors (``.planar_fn``) are called with zero relayouts; row-major
+    ones get explicit conversions at the call boundary.
+    """
+    B = k0.shape
+
+    def r2(x):  # per-ray scalar -> (B0, 128)
         return x.reshape(B)
 
     n_lights = scene.n_lights
@@ -299,24 +327,24 @@ def trace_paths(
             jnp.zeros_like(emitted),
         )
 
-        un = prng.bounce_uniforms_batch(keys, k)  # (Rp, N_BOUNCE_DIMS)
+        un = prng.bounce_uniforms_planar(k0, k1, k)  # (N_BOUNCE_DIMS, B0, 128)
 
         if n_lights > 0:
-            li_flat = jnp.minimum(
-                (un[:, prng.DIM_LIGHT_SEL] * n_lights).astype(jnp.int32),
+            li = jnp.minimum(
+                (un[prng.DIM_LIGHT_SEL] * n_lights).astype(jnp.int32),
                 n_lights - 1,
-            )
-            ltid = r2(scene.light_ids[li_flat])
+            )                                              # (B0, 128)
+            ltid = scene.light_ids[li]
             if n_lights <= 512:
                 onehot = (
                     jnp.arange(n_lights, dtype=jnp.int32)[:, None]
-                    == li_flat[None, :]
+                    == li.reshape(-1)[None, :]
                 ).astype(jnp.float32)                      # (L, Rp)
                 lrow = jnp.dot(
                     light_table_t, onehot, preferred_element_type=jnp.float32
                 )                                          # (16, Rp)
             else:
-                lrow = light_table_t[:, li_flat]
+                lrow = light_table_t[:, li.reshape(-1)]
             lrow = lrow.reshape((16,) + B)
             lv0 = lrow[0:3]
             lv1 = lrow[3:6]
@@ -326,8 +354,8 @@ def trace_paths(
             larea = lrow[15]
 
             # v0 ~ U(0,1), v1 ~ U(0, 1-v0)  (rayTracer.cpp:96-97)
-            b0 = r2(un[:, prng.DIM_LIGHT_U])
-            b1 = r2(un[:, prng.DIM_LIGHT_V]) * (1.0 - b0)
+            b0 = un[prng.DIM_LIGHT_U]
+            b1 = un[prng.DIM_LIGHT_V] * (1.0 - b0)
             lpoint = (
                 P.pscale(b0, lv0)
                 + P.pscale(b1, lv1)
@@ -364,11 +392,11 @@ def trace_paths(
 
         # Extend the path (rayTracer.cpp:119-131).
         wi, pdf = sample_wi_diffuse_planar(
-            normal, r2(un[:, prng.DIM_BSDF_U]), r2(un[:, prng.DIM_BSDF_V])
+            normal, un[prng.DIM_BSDF_U], un[prng.DIM_BSDF_V]
         )
         if not scene.has_specular:
             kmax = jnp.max(f_brdf, axis=0)
-            survive = (pdf > 0.0) & (r2(un[:, prng.DIM_RR]) <= kmax)
+            survive = (pdf > 0.0) & (un[prng.DIM_RR] <= kmax)
             cosine = jnp.abs(P.pdot(normal, wi))
             scale = f_brdf * (
                 cosine / jnp.where(pdf > 0.0, pdf * kmax, 1.0)
@@ -384,9 +412,9 @@ def trace_paths(
                 is_phong, max_ks / jnp.maximum(max_kd + max_ks, 1e-8), 0.0
             )
             wi_s, _ = sample_phong_lobe_planar(
-                wr, ns, r2(un[:, prng.DIM_BSDF_U]), r2(un[:, prng.DIM_BSDF_V])
+                wr, ns, un[prng.DIM_BSDF_U], un[prng.DIM_BSDF_V]
             )
-            choose_spec = r2(un[:, prng.DIM_LOBE]) < p_spec
+            choose_spec = un[prng.DIM_LOBE] < p_spec
             wi = P.pwhere(choose_spec, wi_s, wi)
 
             pdf_d = jnp.maximum(0.0, P.pdot(normal, wi)) * M_1_PI
@@ -403,7 +431,7 @@ def trace_paths(
                 jnp.max(f_brdf, axis=0),
             )
             above = P.pdot(n_unit, wi) > 0.0
-            survive = (pdf_mix > 0.0) & (r2(un[:, prng.DIM_RR]) <= q)
+            survive = (pdf_mix > 0.0) & (un[prng.DIM_RR] <= q)
             survive = survive & (above | ~is_phong)
             cosine = jnp.abs(P.pdot(normal, wi))
             scale = f_at_wi * (
@@ -418,8 +446,8 @@ def trace_paths(
         return (origin, direction, throughput, radiance, new_active), None
 
     init = (
-        P.to_planar(origins, B),
-        P.to_planar(dirs, B),
+        origins,
+        dirs,
         jnp.ones((3,) + B, jnp.float32),
         jnp.zeros((3,) + B, jnp.float32),
         jnp.ones(B, bool),
@@ -427,4 +455,4 @@ def trace_paths(
     (_, _, _, radiance, _), _ = jax.lax.scan(
         bounce, init, jnp.arange(1, depth + 1)
     )
-    return P.to_rows(radiance)[:R]
+    return radiance

@@ -28,9 +28,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from chiaroscuro_tpu.accel import make_intersectors
-from chiaroscuro_tpu.geometry.camera import camera_basis, primary_ray_dirs
+from chiaroscuro_tpu.geometry.camera import camera_basis, primary_ray_dirs_planar
 from chiaroscuro_tpu.render import image_io, tonemap
-from chiaroscuro_tpu.render.integrator import AnyFn, ClosestFn, trace_paths
+from chiaroscuro_tpu.render.integrator import AnyFn, ClosestFn, trace_paths_planar
 from chiaroscuro_tpu.sampling import prng
 from chiaroscuro_tpu.scene.config import RenderConfig
 from chiaroscuro_tpu.scene.scene_arrays import SceneArrays
@@ -65,27 +65,37 @@ def render_samples(
     background = jnp.asarray(background, jnp.float32)
     left_upper, dx, dy = camera_basis(eye, center, up, yview, xres, yres)
 
-    pixel_idx = py * xres + px
-    origins = jnp.broadcast_to(eye, (px.shape[0], 3))
-    pxf = px.astype(jnp.float32)
-    pyf = py.astype(jnp.float32)
+    # Planarize the tile once (see geometry/planar.py): every per-sample
+    # quantity — keys, jitters, directions, radiance — lives in the
+    # (B0, 128) layout end to end; rows only exist at this function's edges.
+    R = px.shape[0]
+    pad = (-R) % 128
+    if pad:
+        px = jnp.concatenate([px, px[:1].repeat(pad, 0)])
+        py = jnp.concatenate([py, py[:1].repeat(pad, 0)])
+    B = ((R + pad) // 128, 128)
+    pixel_idx = (py * xres + px).reshape(B)
+    pxf = px.astype(jnp.float32).reshape(B)
+    pyf = py.astype(jnp.float32).reshape(B)
+    origins = jnp.broadcast_to(eye[:, None, None], (3,) + B)
 
     def one_sample(acc, s):
-        keys = prng.pixel_sample_keys(seed, pixel_idx, s)
-        jit_uv = prng.aa_jitter_batch(keys)  # (R, 2)
-        dirs = primary_ray_dirs(
-            left_upper, dx, dy, pxf, pyf, jit_uv[:, 0], jit_uv[:, 1]
-        )
-        radiance = trace_paths(
-            scene, origins, dirs, keys, depth, background, closest_fn, any_fn
+        k0, k1 = prng.base_key(seed, pixel_idx, s)
+        jx, jy = prng.aa_jitter_pair(k0, k1)
+        dirs = primary_ray_dirs_planar(left_upper, dx, dy, pxf, pyf, jx, jy)
+        radiance = trace_paths_planar(
+            scene, origins, dirs, k0, k1, depth, background,
+            closest_fn, any_fn,
         )
         return acc + radiance, None
 
-    init = jnp.zeros((px.shape[0], 3), jnp.float32)
+    init = jnp.zeros((3,) + B, jnp.float32)
     total, _ = jax.lax.scan(
         one_sample, init, sample_start + jnp.arange(n_samples)
     )
-    return total * (1.0 / n_samples)
+    from chiaroscuro_tpu.geometry import planar as P
+
+    return P.to_rows(total)[:R] * (1.0 / n_samples)
 
 
 @partial(
