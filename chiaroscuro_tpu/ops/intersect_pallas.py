@@ -83,28 +83,37 @@ _INT_ATTRS = ("btype", "texid", "texid_ks")
 def _prep_attrs(scene, chunk):
     """(ATTR_K, T_pad) f32 shading-attribute matrix, one *column* per
     triangle (transposed for the in-kernel (ATTR_K, C) @ (C, 128) fetch).
-    Int columns (btype/texid) ride as exact small floats."""
-    import numpy as _np
+    Int columns (btype/texid) ride as exact small floats.
 
+    Built with jnp so it stays inside the traced graph: when the scene
+    fields are traced (differentiable rendering), gradients flow from the
+    kernel's attribute output back into kd/ke/vertices via the custom VJP
+    below; with a concrete scene it constant-folds to a device array."""
     T = scene.tri_v0.shape[0]
+    cols = jnp.concatenate(
+        [
+            scene.tri_v0,                                   # v0
+            scene.tri_v1 - scene.tri_v0,                    # e1
+            scene.tri_v2 - scene.tri_v0,                    # e2
+            scene.normal,
+            scene.kd,
+            scene.ke,
+            scene.uv0,
+            scene.uv1,
+            scene.uv2,
+            scene.brdf_type[:, None].astype(jnp.float32),
+            scene.tex_id[:, None].astype(jnp.float32),
+            scene.ks,
+            scene.shininess[:, None],
+            scene.tex_id_ks[:, None].astype(jnp.float32),
+        ],
+        axis=1,
+    )                                                       # (T, 31)
+    A = jnp.zeros((T, ATTR_K), jnp.float32).at[:, : cols.shape[1]].set(cols)
     pad = (-T) % chunk
-    A = _np.zeros((T + pad, ATTR_K), _np.float32)
-    v0 = _np.asarray(scene.tri_v0)
-    A[:T, ATTR_LAYOUT["v0"]] = v0
-    A[:T, ATTR_LAYOUT["e1"]] = _np.asarray(scene.tri_v1) - v0
-    A[:T, ATTR_LAYOUT["e2"]] = _np.asarray(scene.tri_v2) - v0
-    A[:T, ATTR_LAYOUT["normal"]] = _np.asarray(scene.normal)
-    A[:T, ATTR_LAYOUT["kd"]] = _np.asarray(scene.kd)
-    A[:T, ATTR_LAYOUT["ke"]] = _np.asarray(scene.ke)
-    A[:T, ATTR_LAYOUT["uv0"]] = _np.asarray(scene.uv0)
-    A[:T, ATTR_LAYOUT["uv1"]] = _np.asarray(scene.uv1)
-    A[:T, ATTR_LAYOUT["uv2"]] = _np.asarray(scene.uv2)
-    A[:T, ATTR_LAYOUT["btype"]] = _np.asarray(scene.brdf_type)[:, None]
-    A[:T, ATTR_LAYOUT["texid"]] = _np.asarray(scene.tex_id)[:, None]
-    A[:T, ATTR_LAYOUT["ks"]] = _np.asarray(scene.ks)
-    A[:T, ATTR_LAYOUT["ns"]] = _np.asarray(scene.shininess)[:, None]
-    A[:T, ATTR_LAYOUT["texid_ks"]] = _np.asarray(scene.tex_id_ks)[:, None]
-    return jnp.asarray(A.T)
+    if pad:
+        A = jnp.concatenate([A, jnp.zeros((pad, ATTR_K), jnp.float32)])
+    return A.T
 
 
 def unpack_attrs_planar(mat):
@@ -359,6 +368,52 @@ def _any_call(o3, d3, tmax, excl, tri_rows, chunk, interpret=False):
     )(o3, d3, tmax, excl, tri_rows)
 
 
+# ---------------------------------------------------------------------------
+# Differentiability.  pallas_call has no autodiff; the standard trick for an
+# argmin-style kernel applies: the kernel supplies the *discrete* result (hit
+# triangle id), and the backward pass differentiates an O(R) recomputation of
+# the continuous outputs (t, u, v, shading attributes) for just that
+# triangle — exactly the same Moller-Trumbore formula, so primal values and
+# recomputed values agree to ulp.  Cotangents of missed rays are zeroed
+# (their primal outputs are sentinels and tid=0 is garbage).
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _closest_diff(o3, d3, tri_rows, attrT, chunk, interpret):
+    return _closest_call(o3, d3, tri_rows, attrT, chunk, interpret=interpret)
+
+
+def _closest_diff_fwd(o3, d3, tri_rows, attrT, chunk, interpret):
+    out = _closest_call(o3, d3, tri_rows, attrT, chunk, interpret=interpret)
+    t, tid, u, v, am = out
+    return out, (o3, d3, tri_rows, attrT, tid, t < BIG)
+
+
+def _closest_diff_bwd(chunk, interpret, res, cts):
+    o3, d3, tri_rows, attrT, tid, hit = res
+    ct_t, _ct_tid, ct_u, ct_v, ct_am = cts
+    h = hit.astype(jnp.float32)
+
+    def recompute(o3, d3, tri_rows, attrT):
+        tri = tri_rows.T[:, tid]                      # (9, B0, 128) planar
+        _, t, u, v = _mt_core(
+            (o3[0], o3[1], o3[2]),
+            (d3[0], d3[1], d3[2]),
+            (tri[0], tri[1], tri[2]),
+            (tri[3], tri[4], tri[5]),
+            (tri[6], tri[7], tri[8]),
+        )
+        am = attrT[:, tid]                            # (ATTR_K, B0, 128)
+        return t, u, v, am
+
+    _, vjp = jax.vjp(recompute, o3, d3, tri_rows, attrT)
+    return vjp((ct_t * h, ct_u * h, ct_v * h, ct_am * h[None]))
+
+
+_closest_diff.defvjp(_closest_diff_fwd, _closest_diff_bwd)
+
+
 def _pad_planar_rows(x, mult, axis):
     """Pad a planar array's B0 axis to a multiple of ``mult`` with replicas
     of the first row (replicas can't create degenerate configs)."""
@@ -401,19 +456,28 @@ def make_pallas_intersectors(
         B0 = o3.shape[1]
         o3p = _pad_planar_rows(o3, TILE_B, 1)
         d3p = _pad_planar_rows(d3, TILE_B, 1)
-        t, tid, u, v, am = _closest_call(
-            o3p, d3p, tri_rows, attrT, chunk, interpret=interpret
+        t, tid, u, v, am = _closest_diff(
+            o3p, d3p, tri_rows, attrT, chunk, interpret
         )
         t, tid, u, v, am = t[:B0], tid[:B0], u[:B0], v[:B0], am[:, :B0]
         return ClosestHit(t < BIG, t, tid, u, v, unpack_attrs_planar(am))
 
     def any_planar(o3, d3, tmax, excl):
+        # Occlusion is a discrete decision (bool): detach its float inputs so
+        # autodiff never reaches the pallas_call.  (The brute-force oracle's
+        # bool output is equally gradient-free.)
+        o3 = jax.lax.stop_gradient(o3)
+        d3 = jax.lax.stop_gradient(d3)
+        tmax = jax.lax.stop_gradient(tmax)
         B0 = o3.shape[1]
         o3p = _pad_planar_rows(o3, TILE_B, 1)
         d3p = _pad_planar_rows(d3, TILE_B, 1)
         tm = _pad_planar_rows(tmax, TILE_B, 0)
         ex = _pad_planar_rows(excl.astype(jnp.int32), TILE_B, 0)
-        occ = _any_call(o3p, d3p, tm, ex, tri_rows, chunk, interpret=interpret)
+        occ = _any_call(
+            o3p, d3p, tm, ex, jax.lax.stop_gradient(tri_rows), chunk,
+            interpret=interpret,
+        )
         return occ[:B0]
 
     def _flat(x, R):
