@@ -1,0 +1,223 @@
+"""Cluster (meshlet) intersector vs the brute-force oracle.
+
+The cluster path (``ops/cluster_pallas.py`` + ``accel/clusters.py``) is the
+large-scene TPU intersector — dense AABB cull + compacted per-row Pallas
+visits.  These tests validate, in interpreter mode on CPU:
+
+- builder invariants (partition of triangles, bounding boxes bound members);
+- closest/any-hit exactness vs the oracle, including the Lmax-overflow
+  fallback and the lowest-original-id tie-break;
+- end-to-end render parity with the brute-force integrator;
+- custom-VJP gradient parity.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chiaroscuro_tpu.accel.clusters import build_clusters
+from chiaroscuro_tpu.geometry.intersect import (
+    intersect_any_bruteforce,
+    intersect_closest_bruteforce,
+)
+from chiaroscuro_tpu.ops.cluster_pallas import make_cluster_intersectors
+from chiaroscuro_tpu.scene.builtin import cornell_box
+from chiaroscuro_tpu.scene.scene_arrays import build_scene_arrays
+from chiaroscuro_tpu.scene.obj_loader import Mesh
+
+
+def _random_soup(rng, T, spread=4.0, size=0.6):
+    base = rng.uniform(-spread, spread, (T, 3)).astype(np.float32)
+    v0 = base
+    v1 = base + rng.normal(scale=size, size=(T, 3)).astype(np.float32)
+    v2 = base + rng.normal(scale=size, size=(T, 3)).astype(np.float32)
+    return v0, v1, v2
+
+
+def _soup_scene(v0, v1, v2):
+    """Wrap a raw triangle soup as a one-mesh scene."""
+    T = len(v0)
+    verts = np.stack([v0, v1, v2], axis=1).reshape(-1, 3)
+    mesh = Mesh(
+        name="soup",
+        positions=verts.astype(np.float32),
+        normals=np.zeros_like(verts),
+        uvs=np.zeros((3 * T, 2), np.float32),
+        indices=np.arange(3 * T, dtype=np.int32).reshape(-1, 3),
+        diffuse=np.array([0.5, 0.5, 0.5], np.float32),
+        emissive=np.zeros(3, np.float32),
+        ambient=np.zeros(3, np.float32),
+        specular=np.zeros(3, np.float32),
+        shininess=0.0,
+    )
+    return build_scene_arrays([mesh])
+
+
+def _rays(rng, n, lo, hi):
+    ext = hi - lo
+    o = rng.uniform(lo - 0.1 * ext, hi + 0.1 * ext, (n, 3))
+    d = rng.normal(size=(n, 3))
+    return jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32)
+
+
+def test_builder_partitions_triangles(rng):
+    v0, v1, v2 = _random_soup(rng, 333)
+    ca = build_clusters(v0, v1, v2, M=16)
+    # Every triangle appears exactly once across clusters.
+    np.testing.assert_array_equal(np.sort(ca.order), np.arange(333))
+    real = ca.orig_id[ca.orig_id < 333]
+    np.testing.assert_array_equal(np.sort(real), np.arange(333))
+    # Median split guarantees > M/2 occupancy per cluster (except a tiny
+    # scene that fits one cluster).
+    assert ca.K == -(-333 * 2 // 16) or ca.K >= 1
+    # Boxes bound their members (with padding).
+    for k in range(ca.K):
+        sl = slice(k * ca.M, (k + 1) * ca.M)
+        ids = ca.orig_id[sl][ca.orig_id[sl] < 333]
+        pts = np.concatenate([v0[ids], v1[ids], v2[ids]])
+        assert (pts >= ca.bbox_min[k] - 1e-6).all()
+        assert (pts <= ca.bbox_max[k] + 1e-6).all()
+
+
+@pytest.mark.parametrize("lmax", [4, 64])
+def test_cluster_closest_matches_oracle(rng, lmax):
+    """lmax=4 forces frequent overflow (full-sweep fallback); lmax=64 makes
+    every row fit its compacted list.  Both must be exact."""
+    v0, v1, v2 = _random_soup(rng, 300)
+    scene = _soup_scene(v0, v1, v2)
+    cf, _ = make_cluster_intersectors(scene, M=16, Lmax=lmax, interpret=True)
+    o, d = _rays(rng, 300, np.float32(-4.4), np.float32(4.4))
+    ph, pt, ptid, pu, pv = cf(o, d)[:5]
+    oh, ot, otid, ou, ov = intersect_closest_bruteforce(
+        o, d, scene.tri_v0, scene.tri_v1, scene.tri_v2
+    )
+    np.testing.assert_array_equal(np.asarray(ph), np.asarray(oh))
+    hit = np.asarray(oh)
+    np.testing.assert_allclose(
+        np.asarray(pt)[hit], np.asarray(ot)[hit], rtol=1e-5
+    )
+    same = np.asarray(ptid)[hit] == np.asarray(otid)[hit]
+    ties = np.isclose(np.asarray(pt)[hit], np.asarray(ot)[hit], rtol=1e-6)
+    assert (same | ties).all()
+    np.testing.assert_allclose(
+        np.asarray(pu)[hit][same], np.asarray(ou)[hit][same], rtol=1e-4,
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pv)[hit][same], np.asarray(ov)[hit][same], rtol=1e-4,
+        atol=1e-5,
+    )
+
+
+def test_cluster_any_matches_oracle(rng):
+    v0, v1, v2 = _random_soup(rng, 300)
+    scene = _soup_scene(v0, v1, v2)
+    _, af = make_cluster_intersectors(scene, M=16, Lmax=8, interpret=True)
+    o, d = _rays(rng, 300, np.float32(-4.4), np.float32(4.4))
+    tmax = jnp.asarray(rng.uniform(0.5, 10.0, (300,)), jnp.float32)
+    excl = jnp.asarray(rng.integers(0, 300, (300,)), jnp.int32)
+    occ = af(o, d, tmax, excl)
+    ref = intersect_any_bruteforce(
+        o, d, scene.tri_v0, scene.tri_v1, scene.tri_v2, tmax, excl
+    )
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(ref))
+
+
+def test_cluster_attrs_match_scene_gathers(rng):
+    scene = build_scene_arrays(cornell_box())
+    cf, _ = make_cluster_intersectors(scene, M=8, Lmax=16, interpret=True)
+    lo = np.asarray(scene.world_min)
+    hi = np.asarray(scene.world_max)
+    o, d = _rays(rng, 200, lo, hi)
+    res = cf(o, d)
+    hit = np.asarray(res.hit)
+    tid = np.asarray(res.tid)[hit]
+    A = {k: np.asarray(v)[hit] for k, v in res.attrs.items()}
+    np.testing.assert_allclose(A["v0"], np.asarray(scene.tri_v0)[tid], rtol=1e-6)
+    np.testing.assert_allclose(A["normal"], np.asarray(scene.normal)[tid], atol=1e-6)
+    np.testing.assert_allclose(A["kd"], np.asarray(scene.kd)[tid], rtol=1e-6)
+    np.testing.assert_allclose(A["ke"], np.asarray(scene.ke)[tid], rtol=1e-6)
+    np.testing.assert_array_equal(A["btype"], np.asarray(scene.brdf_type)[tid])
+    np.testing.assert_array_equal(A["texid"], np.asarray(scene.tex_id)[tid])
+
+
+def test_cluster_render_matches_brute():
+    from chiaroscuro_tpu.accel.dispatch import make_intersectors
+    from chiaroscuro_tpu.render.renderer import render_samples
+    from chiaroscuro_tpu.scene.builtin import CORNELL_CAMERA as cam
+
+    scene = build_scene_arrays(cornell_box())
+    eye = jnp.asarray(cam["eye"], jnp.float32)
+    center = jnp.asarray(cam["center"], jnp.float32)
+    up = jnp.asarray(cam["up"], jnp.float32)
+    xres = yres = 24
+    ys, xs = np.meshgrid(
+        np.arange(yres, dtype=np.int32), np.arange(xres, dtype=np.int32),
+        indexing="ij",
+    )
+    px = jnp.asarray(xs.reshape(-1))
+    py = jnp.asarray(ys.reshape(-1))
+
+    def render(cf, af):
+        return render_samples(
+            scene, eye, center, up, jnp.float32(cam["yview"]), xres, yres,
+            px, py, jnp.int32(0), 2, jnp.uint32(7), 3,
+            jnp.zeros(3, jnp.float32), cf, af,
+        )
+
+    cf, af = make_cluster_intersectors(scene, M=8, Lmax=8, interpret=True)
+    img_cluster = np.asarray(render(cf, af))
+    bf, ba = make_intersectors(scene, "brute")
+    img_brute = np.asarray(render(bf, ba))
+    np.testing.assert_allclose(img_cluster, img_brute, rtol=1e-4, atol=1e-5)
+
+
+def test_cluster_gradients_match_bruteforce():
+    from chiaroscuro_tpu.accel.dispatch import make_intersectors
+    from chiaroscuro_tpu.render.renderer import render_samples
+
+    scene = build_scene_arrays(cornell_box())
+    eye = jnp.asarray([0.0, 1.0, 3.2], jnp.float32)
+    center = jnp.asarray([0.0, 1.0, 0.0], jnp.float32)
+    up = jnp.asarray([0.0, 1.0, 0.0], jnp.float32)
+    xres = yres = 16
+    ys, xs = np.meshgrid(
+        np.arange(yres, dtype=np.int32), np.arange(xres, dtype=np.int32),
+        indexing="ij",
+    )
+    px = jnp.asarray(xs.reshape(-1))
+    py = jnp.asarray(ys.reshape(-1))
+
+    def make_loss(method):
+        def loss(params):
+            s = dataclasses.replace(scene, **params)
+            if method == "cluster":
+                cf, af = make_cluster_intersectors(
+                    s, M=8, Lmax=8, interpret=True,
+                    clusters=build_clusters(
+                        np.asarray(scene.tri_v0), np.asarray(scene.tri_v1),
+                        np.asarray(scene.tri_v2), 8,
+                    ),
+                )
+            else:
+                cf, af = make_intersectors(s, "brute")
+            img = render_samples(
+                s, eye, center, up, jnp.float32(1.0), xres, yres, px, py,
+                jnp.int32(0), 2, jnp.uint32(3), 3,
+                jnp.zeros(3, jnp.float32), cf, af,
+            )
+            return jnp.mean(
+                img * jnp.linspace(0.5, 1.5, img.size).reshape(img.shape)
+            )
+        return loss
+
+    params = {"kd": scene.kd, "ke": scene.ke, "tri_v0": scene.tri_v0}
+    g_cluster = jax.grad(make_loss("cluster"))(params)
+    g_brute = jax.grad(make_loss("brute"))(params)
+    for k in params:
+        a, b = np.asarray(g_cluster[k]), np.asarray(g_brute[k])
+        assert np.isfinite(a).all(), k
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-6, err_msg=k)
