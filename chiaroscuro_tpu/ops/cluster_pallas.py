@@ -4,23 +4,35 @@ TPU-native replacement for per-ray kd-tree traversal on *large* scenes
 (``src/kdtree.cpp:248-344``).  See ``accel/clusters.py`` for the design
 rationale; the division of labor is:
 
-- **XLA cull pass** (:func:`_cull_rows`): dense AABB slab tests of all K
-  cluster boxes against every 128-ray row — pure elementwise VPU work —
-  reduced to a per-row *compacted cluster id list* (ids of boxes any lane of
-  the row hits, ascending) plus a trip count.  Rows that hit more than
-  ``Lmax`` clusters overflow to a full sweep (trip = K, identity ids), so
-  the result is always exact.
-- **Pallas kernel**: grid over ray rows; each step reads its id list from
-  SMEM and runs a dynamic-trip ``fori_loop`` whose body is the same
-  (M x 128) Moller-Trumbore block as the dense kernel
-  (``ops/intersect_pallas.py``), with per-hit shading attributes fetched
-  in-kernel by a one-hot (ATTR_K x M) @ (M x 128) matmul.
+- **XLA cull pass** (:func:`_cull_rows`): exact per-lane AABB slab tests of
+  all K cluster boxes — dense elementwise VPU work, K-chunked so temporaries
+  stay cache-sized — reduced to a per-row *compacted cluster id list* (ids
+  of boxes any lane of the 128-ray row hits, ascending, via stable top_k)
+  plus a trip count.  Rows that hit more than ``Lmax`` clusters overflow to
+  a full sweep (trip = K, identity ids), so the result is always exact.
+- **Pallas kernel**: grid over 8-row tiles; each row runs a dynamic-trip
+  ``fori_loop`` whose body is the same (M x 128) Moller-Trumbore block as
+  the dense kernel (``ops/intersect_pallas.py``), with per-hit shading
+  attributes fetched in-kernel by a one-hot (M x ATTR_K)^T @ (M x 128)
+  matmul on the MXU.  Ids stream through SMEM.
+
+Cluster data lives in one **packed row matrix** (K*M, 48): columns [0:9] =
+v0|e1|e2, [9] = original triangle id as an exact float (which limits scenes
+to 2^24 triangles), [16:48] = the shading-attribute row.  Two kernel
+variants consume it:
+
+- *resident*: the packed matrix sits whole in VMEM — fastest, fits ~400k
+  triangle-slots in a v5e's 128 MB;
+- *streaming*: the packed matrix stays in HBM (``pl.ANY``) and each
+  visited cluster's (M, 48) chunk is DMA'd into a double-buffered VMEM
+  scratch, prefetching chunk j+1 while chunk j computes — unbounded scene
+  size, bandwidth-bound only on the clusters actually visited.
 
 Exactness vs the brute-force oracle (``geometry/intersect.py``): identical
 epsilon and acceptance conditions; ties in t are broken to the lowest
 *original* triangle id both within a cluster (lexicographic (t, id) argmin)
-and across clusters, so results match the oracle bitwise regardless of
-cluster visit order.  Padded slots are degenerate (det == 0) and never hit.
+and across clusters, so results match the oracle regardless of cluster
+visit order.  Padded slots are degenerate (det == 0) and never hit.
 
 Differentiability: like the dense kernel, a custom VJP recomputes the
 continuous outputs (t, u, v, attributes) for the winning triangle id from
@@ -48,19 +60,26 @@ from chiaroscuro_tpu.ops.intersect_pallas import (
     _pad_planar_rows,
     _prep_attrs,
     _rows_to_planar,
-    _tri_cols,
     unpack_attrs_planar,
 )
 from chiaroscuro_tpu.scene.scene_arrays import SceneArrays
 
-INT32_MAX = np.int32(np.iinfo(np.int32).max)
+# Packed-row layout.
+PACK_W = 48              # row width (f32): 9 tri + 1 id + pad + 32 attrs
+PACK_ATTR0 = 16          # attrs occupy [PACK_ATTR0 : PACK_ATTR0 + ATTR_K]
+ID_SENTINEL = np.float32(1 << 24)   # > any real id; ids exact in f32 below it
+
 # Clamp for 1/dir in the slab test: keeps axis-parallel rays finite (no
 # 0 * inf NaNs) while behaving like +-inf for containment purposes.
 HUGE_INV = np.float32(1.0e30)
 # Mosaic's default scoped-VMEM limit is 16 MB; a v5e core has 128 MB of
-# physical VMEM.  The resident triangle/attribute buffers legitimately need
-# more than the default for ~100k-triangle scenes.
-VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+# physical VMEM.  The resident packed matrix legitimately needs more for
+# ~100k-triangle scenes.
+VMEM_LIMIT_BYTES = 110 * 1024 * 1024
+# Above this packed-matrix size, switch to the HBM-streaming kernel.
+RESIDENT_BUDGET_BYTES = 72 * 1024 * 1024
+
+TILE_ROWS = 8  # Mosaic block constraint: sublane block dims divisible by 8
 
 
 # ---------------------------------------------------------------------------
@@ -69,7 +88,7 @@ VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 
 
 def _cull_rows(o3, d3, bmin, bmax, Lmax, tmax=None):
-    """Per-row cluster culling by conservative interval arithmetic.
+    """Per-row cluster culling.
 
     o3, d3: (3, B0, 128) planar rays; bmin/bmax: (K, 3) boxes.  Returns
     (meta (B0, 2) i32 [trip, overflow], ids (B0, Le) i32), Le = min(Lmax, K).
@@ -79,7 +98,7 @@ def _cull_rows(o3, d3, bmin, bmax, Lmax, tmax=None):
     origins/directions and testing (B0, K) intervals — is 128x cheaper but
     was measured 3.7x *slower* end-to-end on nanosuit: one divergent lane
     widens a bounce row's interval to the whole scene, and bounce rows
-    dominate.  Per-lane exactness is what makes the per-row lists short.)
+    dominate.  Per-lane exactness is what keeps the per-row lists short.)
     The K axis streams in chunks through a ``lax.scan`` so the (chunk, B0,
     128) slab temporaries stay cache-sized instead of materializing
     (K, B0, 128) in HBM.
@@ -143,100 +162,113 @@ def _cull_rows(o3, d3, bmin, bmax, Lmax, tmax=None):
 # ---------------------------------------------------------------------------
 
 
-TILE_ROWS = 8  # Mosaic block constraint: sublane block dims divisible by 8
+def _visit_chunk(chunk, o, d, tmax=None, excl=None):
+    """Core per-cluster computation on a packed (M, PACK_W) chunk.
+
+    Closest mode (tmax is None): returns (tmin, idsel, cu, cv, cattr) —
+    the lexicographic-(t, original id) best hit of the chunk per lane.
+    Any mode: returns the per-lane blocking mask reduced over the chunk.
+    """
+    M = chunk.shape[0]
+    v0 = (chunk[:, 0:1], chunk[:, 1:2], chunk[:, 2:3])
+    e1 = (chunk[:, 3:4], chunk[:, 4:5], chunk[:, 5:6])
+    e2 = (chunk[:, 6:7], chunk[:, 7:8], chunk[:, 8:9])
+    oid = jnp.broadcast_to(chunk[:, 9:10], (M, 128))      # exact float ids
+    ok, t, u, v = _mt_core(o, d, v0, e1, e2)
+
+    if tmax is not None:
+        blocking = ok & (t < tmax) & (oid != excl)
+        return jnp.any(blocking, axis=0, keepdims=True)
+
+    t = jnp.where(ok, t, BIG)
+    tmin = jnp.min(t, axis=0, keepdims=True)              # (1, 128)
+    is_min = t == tmin
+    idsel = jnp.min(
+        jnp.where(is_min, oid, ID_SENTINEL), axis=0, keepdims=True
+    )
+    sel = is_min & (oid == idsel)                         # one-hot per lane
+    cu = jnp.sum(jnp.where(sel, u, 0.0), axis=0, keepdims=True)
+    cv = jnp.sum(jnp.where(sel, v, 0.0), axis=0, keepdims=True)
+    cattr = jax.lax.dot_general(
+        chunk[:, PACK_ATTR0 : PACK_ATTR0 + ATTR_K],       # (M, AK)
+        sel.astype(jnp.float32),                          # (M, 128)
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                     # (AK, 128)
+    return tmin, idsel, cu, cv, cattr
+
+
+def _closest_init():
+    return (
+        jnp.full((1, 128), BIG, jnp.float32),
+        jnp.full((1, 128), ID_SENTINEL, jnp.float32),
+        jnp.zeros((1, 128), jnp.float32),
+        jnp.zeros((1, 128), jnp.float32),
+        jnp.zeros((ATTR_K, 128), jnp.float32),
+    )
+
+
+def _closest_merge(carry, visit):
+    best_t, best_id, best_u, best_v, best_attr = carry
+    tmin, idsel, cu, cv, cattr = visit
+    better = (tmin < best_t) | (
+        (tmin == best_t) & (idsel < best_id) & (tmin < BIG)
+    )
+    return (
+        jnp.where(better, tmin, best_t),
+        jnp.where(better, idsel, best_id),
+        jnp.where(better, cu, best_u),
+        jnp.where(better, cv, best_v),
+        jnp.where(better, cattr, best_attr),
+    )
+
+
+def _store_closest(b, carry, t_ref, id_ref, u_ref, v_ref, attr_out):
+    bt, bi, bu, bv, ba = carry
+    t_ref[pl.ds(b, 1), :] = bt
+    id_ref[pl.ds(b, 1), :] = jnp.where(bt < BIG, bi, 0.0).astype(jnp.int32)
+    u_ref[pl.ds(b, 1), :] = bu
+    v_ref[pl.ds(b, 1), :] = bv
+    attr_out[:, pl.ds(b, 1), :] = ba[:, None, :]
+
+
+def _row_rays(o_ref, d_ref, b):
+    o = (o_ref[0, pl.ds(b, 1)], o_ref[1, pl.ds(b, 1)], o_ref[2, pl.ds(b, 1)])
+    d = (d_ref[0, pl.ds(b, 1)], d_ref[1, pl.ds(b, 1)], d_ref[2, pl.ds(b, 1)])
+    return o, d
 
 
 def _closest_kernel(
-    meta_ref, ids_ref, o_ref, d_ref, tri_ref, oid_ref, attrT_ref,
+    meta_ref, ids_ref, o_ref, d_ref, pack_ref,
     t_ref, id_ref, u_ref, v_ref, attr_out, *, M, Le,
 ):
-    AK = attr_out.shape[0]
-
     def row_body(b, _):
         trip = meta_ref[b, 0]
         overflow = meta_ref[b, 1]
-        o = (
-            o_ref[0, pl.ds(b, 1)],
-            o_ref[1, pl.ds(b, 1)],
-            o_ref[2, pl.ds(b, 1)],
-        )
-        d = (
-            d_ref[0, pl.ds(b, 1)],
-            d_ref[1, pl.ds(b, 1)],
-            d_ref[2, pl.ds(b, 1)],
-        )
+        o, d = _row_rays(o_ref, d_ref, b)
 
         def body(j, carry):
-            best_t, best_id, best_u, best_v, best_attr = carry
             cid = jnp.where(
                 overflow > 0, j, ids_ref[b, jnp.minimum(j, Le - 1)]
             )
-            base = cid * M
-            tri = tri_ref[pl.ds(base, M), :]              # (M, 9)
-            oid = jnp.broadcast_to(oid_ref[pl.ds(base, M), :], (M, 128))
-            v0, e1, e2 = _tri_cols(tri)
-            ok, t, u, v = _mt_core(o, d, v0, e1, e2)
-            t = jnp.where(ok, t, BIG)
-            tmin = jnp.min(t, axis=0, keepdims=True)      # (1, 128)
-            is_min = t == tmin
-            # Lexicographic (t, original id) argmin within the cluster.
-            idsel = jnp.min(
-                jnp.where(is_min, oid, INT32_MAX), axis=0, keepdims=True
-            )
-            sel = is_min & (oid == idsel)                 # one-hot per lane
-            cu = jnp.sum(jnp.where(sel, u, 0.0), axis=0, keepdims=True)
-            cv = jnp.sum(jnp.where(sel, v, 0.0), axis=0, keepdims=True)
-            cattr = jnp.dot(
-                attrT_ref[:, pl.ds(base, M)],
-                sel.astype(jnp.float32),                  # (M, 128)
-                preferred_element_type=jnp.float32,
-            )                                             # (AK, 128)
-            better = (tmin < best_t) | (
-                (tmin == best_t) & (idsel < best_id) & (tmin < BIG)
-            )
-            return (
-                jnp.where(better, tmin, best_t),
-                jnp.where(better, idsel, best_id),
-                jnp.where(better, cu, best_u),
-                jnp.where(better, cv, best_v),
-                jnp.where(better, cattr, best_attr),
-            )
+            chunk = pack_ref[pl.ds(cid * M, M), :]        # (M, PACK_W)
+            return _closest_merge(carry, _visit_chunk(chunk, o, d))
 
-        init = (
-            jnp.full((1, 128), BIG, jnp.float32),
-            jnp.full((1, 128), INT32_MAX, jnp.int32),
-            jnp.zeros((1, 128), jnp.float32),
-            jnp.zeros((1, 128), jnp.float32),
-            jnp.zeros((AK, 128), jnp.float32),
-        )
-        bt, bi, bu, bv, ba = jax.lax.fori_loop(0, trip, body, init)
-        t_ref[pl.ds(b, 1), :] = bt
-        id_ref[pl.ds(b, 1), :] = jnp.where(bt < BIG, bi, 0)
-        u_ref[pl.ds(b, 1), :] = bu
-        v_ref[pl.ds(b, 1), :] = bv
-        attr_out[:, pl.ds(b, 1), :] = ba[:, None, :]
+        carry = jax.lax.fori_loop(0, trip, body, _closest_init())
+        _store_closest(b, carry, t_ref, id_ref, u_ref, v_ref, attr_out)
         return _
 
     jax.lax.fori_loop(0, TILE_ROWS, row_body, 0)
 
 
 def _any_kernel(
-    meta_ref, ids_ref, o_ref, d_ref, tmax_ref, excl_ref, tri_ref, oid_ref,
+    meta_ref, ids_ref, o_ref, d_ref, tmax_ref, excl_ref, pack_ref,
     occ_ref, *, M, Le,
 ):
     def row_body(b, _):
         trip = meta_ref[b, 0]
         overflow = meta_ref[b, 1]
-        o = (
-            o_ref[0, pl.ds(b, 1)],
-            o_ref[1, pl.ds(b, 1)],
-            o_ref[2, pl.ds(b, 1)],
-        )
-        d = (
-            d_ref[0, pl.ds(b, 1)],
-            d_ref[1, pl.ds(b, 1)],
-            d_ref[2, pl.ds(b, 1)],
-        )
+        o, d = _row_rays(o_ref, d_ref, b)
         tmax = tmax_ref[pl.ds(b, 1), :]
         excl = excl_ref[pl.ds(b, 1), :]
 
@@ -249,13 +281,8 @@ def _any_kernel(
             cid = jnp.where(
                 overflow > 0, j, ids_ref[b, jnp.minimum(j, Le - 1)]
             )
-            base = cid * M
-            tri = tri_ref[pl.ds(base, M), :]
-            oid = jnp.broadcast_to(oid_ref[pl.ds(base, M), :], (M, 128))
-            v0, e1, e2 = _tri_cols(tri)
-            ok, t, _, _ = _mt_core(o, d, v0, e1, e2)
-            blocking = ok & (t < tmax) & (oid != excl)
-            return j + 1, occ | jnp.any(blocking, axis=0, keepdims=True)
+            chunk = pack_ref[pl.ds(cid * M, M), :]
+            return j + 1, occ | _visit_chunk(chunk, o, d, tmax, excl)
 
         _, occ = jax.lax.while_loop(
             cond, body, (jnp.int32(0), jnp.zeros((1, 128), bool))
@@ -266,24 +293,131 @@ def _any_kernel(
     jax.lax.fori_loop(0, TILE_ROWS, row_body, 0)
 
 
-def _specs(tri_perm, oid_col, attrT_perm=None):
-    ray_spec = pl.BlockSpec(
+# --- streaming variants: packed matrix in HBM, per-cluster DMA ------------
+
+
+def _stream_closest_kernel(
+    meta_ref, ids_ref, o_ref, d_ref, pack_hbm,
+    t_ref, id_ref, u_ref, v_ref, attr_out,
+    scratch, sem, *, M, Le,
+):
+    def row_body(b, acc):
+        trip = meta_ref[b, 0]
+        overflow = meta_ref[b, 1]
+        o, d = _row_rays(o_ref, d_ref, b)
+
+        def cid_of(j):
+            return jnp.where(
+                overflow > 0, j, ids_ref[b, jnp.minimum(j, Le - 1)]
+            )
+
+        def dma(slot, j):
+            return pltpu.make_async_copy(
+                pack_hbm.at[pl.ds(cid_of(j) * M, M), :],
+                scratch.at[slot],
+                sem.at[slot],
+            )
+
+        @pl.when(trip > 0)
+        def _():
+            dma(0, 0).start()
+
+        def body(j, carry):
+            slot = jax.lax.rem(j, 2)
+
+            @pl.when(j + 1 < trip)
+            def _():
+                dma(jax.lax.rem(j + 1, 2), j + 1).start()
+
+            dma(slot, j).wait()
+            chunk = scratch[slot]
+            return _closest_merge(carry, _visit_chunk(chunk, o, d))
+
+        carry = jax.lax.fori_loop(0, trip, body, _closest_init())
+        _store_closest(b, carry, t_ref, id_ref, u_ref, v_ref, attr_out)
+        return acc
+
+    jax.lax.fori_loop(0, TILE_ROWS, row_body, 0)
+
+
+def _stream_any_kernel(
+    meta_ref, ids_ref, o_ref, d_ref, tmax_ref, excl_ref, pack_hbm,
+    occ_ref, scratch, sem, *, M, Le,
+):
+    def row_body(b, acc):
+        trip = meta_ref[b, 0]
+        overflow = meta_ref[b, 1]
+        o, d = _row_rays(o_ref, d_ref, b)
+        tmax = tmax_ref[pl.ds(b, 1), :]
+        excl = excl_ref[pl.ds(b, 1), :]
+
+        def cid_of(j):
+            return jnp.where(
+                overflow > 0, j, ids_ref[b, jnp.minimum(j, Le - 1)]
+            )
+
+        def dma(slot, j):
+            return pltpu.make_async_copy(
+                pack_hbm.at[pl.ds(cid_of(j) * M, M), :],
+                scratch.at[slot],
+                sem.at[slot],
+            )
+
+        @pl.when(trip > 0)
+        def _():
+            dma(0, 0).start()
+
+        # No early exit: a pending prefetch must always be consumed, so the
+        # streaming any-kernel runs its full trip (the resident variant
+        # early-exits instead).
+        def body(j, occ):
+            slot = jax.lax.rem(j, 2)
+
+            @pl.when(j + 1 < trip)
+            def _():
+                dma(jax.lax.rem(j + 1, 2), j + 1).start()
+
+            dma(slot, j).wait()
+            chunk = scratch[slot]
+            return occ | _visit_chunk(chunk, o, d, tmax, excl)
+
+        occ = jax.lax.fori_loop(
+            0, trip, body, jnp.zeros((1, 128), bool)
+        )
+        occ_ref[pl.ds(b, 1), :] = occ
+        return acc
+
+    jax.lax.fori_loop(0, TILE_ROWS, row_body, 0)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+
+def _common_specs(Le):
+    smem_meta = pl.BlockSpec(
+        (TILE_ROWS, 2), lambda i: (i, 0), memory_space=pltpu.SMEM
+    )
+    smem_ids = pl.BlockSpec(
+        (TILE_ROWS, Le), lambda i: (i, 0), memory_space=pltpu.SMEM
+    )
+    ray = pl.BlockSpec(
         (3, TILE_ROWS, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
-    row_spec = pl.BlockSpec(
+    row = pl.BlockSpec(
         (TILE_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    full = lambda a: pl.BlockSpec(
-        a.shape, lambda i: tuple(0 for _ in a.shape), memory_space=pltpu.VMEM
-    )
-    return ray_spec, row_spec, full
+    return smem_meta, smem_ids, ray, row
 
 
-@partial(jax.jit, static_argnames=("M", "Le", "interpret"))
-def _closest_call(meta, ids, o3, d3, tri_perm, oid_col, attrT_perm, M, Le,
-                  interpret=False):
+@partial(jax.jit, static_argnames=("M", "Le", "stream", "interpret"))
+def _closest_call(meta, ids, o3, d3, packed, M, Le, stream, interpret=False):
     B0 = o3.shape[1]
-    ray_spec, row_spec, full = _specs(tri_perm, oid_col, attrT_perm)
+    smem_meta, smem_ids, ray, row = _common_specs(Le)
+    pack_spec = pl.BlockSpec(
+        memory_space=pl.ANY if stream else pltpu.VMEM
+    )
     out_shape = [
         jax.ShapeDtypeStruct((B0, 128), jnp.float32),
         jax.ShapeDtypeStruct((B0, 128), jnp.int32),
@@ -291,24 +425,13 @@ def _closest_call(meta, ids, o3, d3, tri_perm, oid_col, attrT_perm, M, Le,
         jax.ShapeDtypeStruct((B0, 128), jnp.float32),
         jax.ShapeDtypeStruct((ATTR_K, B0, 128), jnp.float32),
     ]
+    kernel = _stream_closest_kernel if stream else _closest_kernel
     return pl.pallas_call(
-        partial(_closest_kernel, M=M, Le=Le),
+        partial(kernel, M=M, Le=Le),
         grid=(B0 // TILE_ROWS,),
         out_shape=out_shape,
-        in_specs=[
-            pl.BlockSpec(
-                (TILE_ROWS, 2), lambda i: (i, 0), memory_space=pltpu.SMEM
-            ),
-            pl.BlockSpec(
-                (TILE_ROWS, Le), lambda i: (i, 0), memory_space=pltpu.SMEM
-            ),
-            ray_spec,
-            ray_spec,
-            full(tri_perm),
-            full(oid_col),
-            full(attrT_perm),
-        ],
-        out_specs=[row_spec] * 4
+        in_specs=[smem_meta, smem_ids, ray, ray, pack_spec],
+        out_specs=[row] * 4
         + [
             pl.BlockSpec(
                 (ATTR_K, TILE_ROWS, 128),
@@ -316,42 +439,49 @@ def _closest_call(meta, ids, o3, d3, tri_perm, oid_col, attrT_perm, M, Le,
                 memory_space=pltpu.VMEM,
             )
         ],
+        scratch_shapes=(
+            [
+                pltpu.VMEM((2, M, PACK_W), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+            if stream
+            else []
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT_BYTES
         ),
         interpret=interpret,
-    )(meta, ids, o3, d3, tri_perm, oid_col, attrT_perm)
+    )(meta, ids, o3, d3, packed)
 
 
-@partial(jax.jit, static_argnames=("M", "Le", "interpret"))
-def _any_call(meta, ids, o3, d3, tmax, excl, tri_perm, oid_col, M, Le,
+@partial(jax.jit, static_argnames=("M", "Le", "stream", "interpret"))
+def _any_call(meta, ids, o3, d3, tmax, excl, packed, M, Le, stream,
               interpret=False):
     B0 = o3.shape[1]
-    ray_spec, row_spec, full = _specs(tri_perm, oid_col)
+    smem_meta, smem_ids, ray, row = _common_specs(Le)
+    pack_spec = pl.BlockSpec(
+        memory_space=pl.ANY if stream else pltpu.VMEM
+    )
+    kernel = _stream_any_kernel if stream else _any_kernel
     return pl.pallas_call(
-        partial(_any_kernel, M=M, Le=Le),
+        partial(kernel, M=M, Le=Le),
         grid=(B0 // TILE_ROWS,),
         out_shape=jax.ShapeDtypeStruct((B0, 128), jnp.bool_),
-        in_specs=[
-            pl.BlockSpec(
-                (TILE_ROWS, 2), lambda i: (i, 0), memory_space=pltpu.SMEM
-            ),
-            pl.BlockSpec(
-                (TILE_ROWS, Le), lambda i: (i, 0), memory_space=pltpu.SMEM
-            ),
-            ray_spec,
-            ray_spec,
-            row_spec,
-            row_spec,
-            full(tri_perm),
-            full(oid_col),
-        ],
-        out_specs=row_spec,
+        in_specs=[smem_meta, smem_ids, ray, ray, row, row, pack_spec],
+        out_specs=row,
+        scratch_shapes=(
+            [
+                pltpu.VMEM((2, M, PACK_W), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+            if stream
+            else []
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT_BYTES
         ),
         interpret=interpret,
-    )(meta, ids, o3, d3, tmax, excl, tri_perm, oid_col)
+    )(meta, ids, o3, d3, tmax, excl, packed)
 
 
 # ---------------------------------------------------------------------------
@@ -362,18 +492,22 @@ def _any_call(meta, ids, o3, d3, tmax, excl, tri_perm, oid_col, M, Le,
 def make_cluster_intersectors(
     scene: SceneArrays,
     M: int = 128,
-    Lmax: int = 64,
+    Lmax: int = 128,
     interpret: bool | None = None,
     clusters: ClusterArrays | None = None,
+    stream: bool | None = None,
 ) -> Tuple[ClosestFn, AnyFn]:
     """Cluster-culled Pallas intersectors for large scenes.
 
     The meshlet decomposition (permutation + boxes) is built host-side from
     the scene's *concrete* geometry; rebuild the intersectors if vertex
     positions change materially (box padding absorbs <= 1e-4 drift).  The
-    kernel's triangle/attribute buffers are derived from the (possibly
-    traced) scene arrays with in-graph gathers, so gradients flow to
+    kernel's packed cluster matrix is derived from the (possibly traced)
+    scene arrays with in-graph gathers, so gradients flow to
     kd/ke/uv/vertices exactly as in the dense kernel.
+
+    ``stream=None`` auto-selects the HBM-streaming kernel when the packed
+    matrix exceeds the VMEM residency budget.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -388,16 +522,20 @@ def make_cluster_intersectors(
     K = clusters.K
     Le = min(Lmax, K)
     T = scene.tri_v0.shape[0]
+    if T >= int(ID_SENTINEL):
+        raise ValueError("cluster intersector supports < 2^24 triangles")
+    if stream is None:
+        stream = K * M * PACK_W * 4 > RESIDENT_BUDGET_BYTES
 
     bmin = jnp.asarray(clusters.bbox_min)
     bmax = jnp.asarray(clusters.bbox_max)
-    oid = jnp.asarray(clusters.orig_id)                    # (K*M,)
-    oid_col = oid[:, None]                                 # (K*M, 1) i32
+    oid = jnp.asarray(clusters.orig_id)                    # (K*M,) i32
     safe_oid = jnp.minimum(oid, T - 1)
     real = (oid < T)
+    oid_f = jnp.where(real, oid.astype(jnp.float32), ID_SENTINEL)
 
     def _derive(scene):
-        """In-graph permuted buffers (differentiable w.r.t. scene fields)."""
+        """In-graph packed buffers (differentiable w.r.t. scene fields)."""
         tri_orig = jnp.concatenate(
             [
                 scene.tri_v0,
@@ -408,18 +546,28 @@ def make_cluster_intersectors(
         )                                                  # (T, 9)
         attrT_orig = _prep_attrs(scene, 1)                 # (ATTR_K, T)
         tri_perm = jnp.where(real[:, None], tri_orig[safe_oid], 0.0)
-        attrT_perm = jnp.where(real[None, :], attrT_orig[:, safe_oid], 0.0)
-        return tri_orig, attrT_orig, tri_perm, attrT_perm
+        attr_perm = jnp.where(
+            real[:, None], attrT_orig.T[safe_oid], 0.0
+        )                                                  # (K*M, ATTR_K)
+        packed = jnp.concatenate(
+            [
+                tri_perm,                                  # [0:9]
+                oid_f[:, None],                            # [9]
+                jnp.zeros((K * M, PACK_ATTR0 - 10), jnp.float32),
+                attr_perm,                                 # [16:48]
+            ],
+            axis=1,
+        )
+        return tri_orig, attrT_orig, packed
 
     def _closest_impl(o3, d3, attr_scene):
         B0 = o3.shape[1]
-        _, _, tri_perm, attrT_perm = _derive(attr_scene)
+        _, _, packed = _derive(attr_scene)
         o3p = _pad_planar_rows(o3, TILE_ROWS, 1)
         d3p = _pad_planar_rows(d3, TILE_ROWS, 1)
         meta, ids = _cull_rows(o3p, d3p, bmin, bmax, Le)
         t, tid, u, v, am = _closest_call(
-            meta, ids, o3p, d3p, tri_perm, oid_col, attrT_perm, M, Le,
-            interpret=interpret,
+            meta, ids, o3p, d3p, packed, M, Le, stream, interpret=interpret
         )
         return t[:B0], tid[:B0], u[:B0], v[:B0], am[:, :B0]
 
@@ -438,7 +586,7 @@ def make_cluster_intersectors(
         h = hitm.astype(jnp.float32)
 
         def recompute(o3, d3, attr_scene):
-            tri_orig, attrT_orig, _, _ = _derive(attr_scene)
+            tri_orig, attrT_orig, _ = _derive(attr_scene)
             tri = tri_orig.T[:, tid]                       # (9, B0, 128)
             _, t, u, v = _mt_core(
                 (o3[0], o3[1], o3[2]),
@@ -464,12 +612,14 @@ def make_cluster_intersectors(
         o3 = _pad_planar_rows(jax.lax.stop_gradient(o3), TILE_ROWS, 1)
         d3 = _pad_planar_rows(jax.lax.stop_gradient(d3), TILE_ROWS, 1)
         tmax = _pad_planar_rows(jax.lax.stop_gradient(tmax), TILE_ROWS, 0)
-        excl = _pad_planar_rows(excl.astype(jnp.int32), TILE_ROWS, 0)
-        _, _, tri_perm, _ = _derive(jax.lax.stop_gradient(scene))
+        excl = _pad_planar_rows(
+            excl.astype(jnp.float32), TILE_ROWS, 0
+        )  # ids compared as exact floats in-kernel
+        _, _, packed = _derive(jax.lax.stop_gradient(scene))
         meta, ids = _cull_rows(o3, d3, bmin, bmax, Le, tmax=tmax)
         occ = _any_call(
-            meta, ids, o3, d3, tmax, excl, tri_perm,
-            oid_col, M, Le, interpret=interpret,
+            meta, ids, o3, d3, tmax, excl, packed, M, Le, stream,
+            interpret=interpret,
         )
         return occ[:B0]
 

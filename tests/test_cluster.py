@@ -82,13 +82,16 @@ def test_builder_partitions_triangles(rng):
         assert (pts <= ca.bbox_max[k] + 1e-6).all()
 
 
-@pytest.mark.parametrize("lmax", [4, 64])
-def test_cluster_closest_matches_oracle(rng, lmax):
+@pytest.mark.parametrize("lmax,stream", [(4, False), (64, False), (64, True)])
+def test_cluster_closest_matches_oracle(rng, lmax, stream):
     """lmax=4 forces frequent overflow (full-sweep fallback); lmax=64 makes
-    every row fit its compacted list.  Both must be exact."""
+    every row fit its compacted list; stream=True forces the HBM-streaming
+    double-buffered-DMA kernel.  All must be exact."""
     v0, v1, v2 = _random_soup(rng, 300)
     scene = _soup_scene(v0, v1, v2)
-    cf, _ = make_cluster_intersectors(scene, M=16, Lmax=lmax, interpret=True)
+    cf, _ = make_cluster_intersectors(
+        scene, M=16, Lmax=lmax, interpret=True, stream=stream
+    )
     o, d = _rays(rng, 300, np.float32(-4.4), np.float32(4.4))
     ph, pt, ptid, pu, pv = cf(o, d)[:5]
     oh, ot, otid, ou, ov = intersect_closest_bruteforce(
@@ -112,10 +115,13 @@ def test_cluster_closest_matches_oracle(rng, lmax):
     )
 
 
-def test_cluster_any_matches_oracle(rng):
+@pytest.mark.parametrize("stream", [False, True])
+def test_cluster_any_matches_oracle(rng, stream):
     v0, v1, v2 = _random_soup(rng, 300)
     scene = _soup_scene(v0, v1, v2)
-    _, af = make_cluster_intersectors(scene, M=16, Lmax=8, interpret=True)
+    _, af = make_cluster_intersectors(
+        scene, M=16, Lmax=8, interpret=True, stream=stream
+    )
     o, d = _rays(rng, 300, np.float32(-4.4), np.float32(4.4))
     tmax = jnp.asarray(rng.uniform(0.5, 10.0, (300,)), jnp.float32)
     excl = jnp.asarray(rng.integers(0, 300, (300,)), jnp.int32)
