@@ -16,17 +16,25 @@ rationale; the division of labor is:
   attributes fetched in-kernel by a one-hot (M x ATTR_K)^T @ (M x 128)
   matmul on the MXU.  Ids stream through SMEM.
 
-Cluster data lives in one **packed row matrix** (K*M, 48): columns [0:9] =
-v0|e1|e2, [9] = original triangle id as an exact float (which limits scenes
-to 2^24 triangles), [16:48] = the shading-attribute row.  Two kernel
-variants consume it:
+Cluster data lives in one **packed field-major matrix** (K*PACK_W, M):
+each cluster owns a (PACK_W=48, M) block whose *rows* are fields — [0:9] =
+v0|e1|e2 components, [9] = original triangle id as an exact float (which
+limits scenes to 2^24 triangles), [16:48] = the shading-attribute matrix —
+and whose *lanes* are the cluster's M triangle slots.  Field-major matters
+on TPU: with M=128 the minor dim is exactly lane-width, so the matrix is
+**dense** (a triangle-major (K*M, 48) layout gets physically padded to 128
+lanes = 2.67x the memory and DMA bytes) and HBM DMA slices are lane-aligned
+as Mosaic requires.  In-kernel, each visit transposes only the 16
+geometry/id rows to triangle-major columns for the Moller-Trumbore
+broadcast; the attribute rows are already the (ATTR_K, M) left operand of
+the one-hot MXU fetch.  Two kernel variants consume the matrix:
 
-- *resident*: the packed matrix sits whole in VMEM — fastest, fits ~400k
-  triangle-slots in a v5e's 128 MB;
-- *streaming*: the packed matrix stays in HBM (``pl.ANY``) and each
-  visited cluster's (M, 48) chunk is DMA'd into a double-buffered VMEM
-  scratch, prefetching chunk j+1 while chunk j computes — unbounded scene
-  size, bandwidth-bound only on the clusters actually visited.
+- *resident*: it sits whole in VMEM — fastest; dense packing fits ~375k
+  triangle-slots in the 72 MB residency budget;
+- *streaming*: it stays in HBM (``pl.ANY``) and each visited cluster's
+  (48, M) block is DMA'd into a double-buffered VMEM scratch, prefetching
+  block j+1 while block j computes — unbounded scene size, bandwidth-bound
+  only on the clusters actually visited.
 
 Exactness vs the brute-force oracle (``geometry/intersect.py``): identical
 epsilon and acceptance conditions; ties in t are broken to the lowest
@@ -64,8 +72,8 @@ from chiaroscuro_tpu.ops.intersect_pallas import (
 )
 from chiaroscuro_tpu.scene.scene_arrays import SceneArrays
 
-# Packed-row layout.
-PACK_W = 48              # row width (f32): 9 tri + 1 id + pad + 32 attrs
+# Packed field-major layout: (PACK_W, M) block per cluster.
+PACK_W = 48              # field rows (f32): 9 tri + 1 id + pad + 32 attrs
 PACK_ATTR0 = 16          # attrs occupy [PACK_ATTR0 : PACK_ATTR0 + ATTR_K]
 ID_SENTINEL = np.float32(1 << 24)   # > any real id; ids exact in f32 below it
 
@@ -163,17 +171,21 @@ def _cull_rows(o3, d3, bmin, bmax, Lmax, tmax=None):
 
 
 def _visit_chunk(chunk, o, d, tmax=None, excl=None):
-    """Core per-cluster computation on a packed (M, PACK_W) chunk.
+    """Core per-cluster computation on a packed (PACK_W, M) block.
 
     Closest mode (tmax is None): returns (tmin, idsel, cu, cv, cattr) —
     the lexicographic-(t, original id) best hit of the chunk per lane.
     Any mode: returns the per-lane blocking mask reduced over the chunk.
     """
-    M = chunk.shape[0]
-    v0 = (chunk[:, 0:1], chunk[:, 1:2], chunk[:, 2:3])
-    e1 = (chunk[:, 3:4], chunk[:, 4:5], chunk[:, 5:6])
-    e2 = (chunk[:, 6:7], chunk[:, 7:8], chunk[:, 8:9])
-    oid = jnp.broadcast_to(chunk[:, 9:10], (M, 128))      # exact float ids
+    M = chunk.shape[1]
+    # Geometry + id rows -> triangle-major (M, 16) columns for the
+    # Moller-Trumbore (M, 1) x (1, 128) broadcast.  Only these 16 rows
+    # transpose; the attribute rows feed the MXU untouched.
+    geo = jnp.transpose(chunk[0:PACK_ATTR0, :], (1, 0))   # (M, 16)
+    v0 = (geo[:, 0:1], geo[:, 1:2], geo[:, 2:3])
+    e1 = (geo[:, 3:4], geo[:, 4:5], geo[:, 5:6])
+    e2 = (geo[:, 6:7], geo[:, 7:8], geo[:, 8:9])
+    oid = jnp.broadcast_to(geo[:, 9:10], (M, 128))        # exact float ids
     ok, t, u, v = _mt_core(o, d, v0, e1, e2)
 
     if tmax is not None:
@@ -189,10 +201,9 @@ def _visit_chunk(chunk, o, d, tmax=None, excl=None):
     sel = is_min & (oid == idsel)                         # one-hot per lane
     cu = jnp.sum(jnp.where(sel, u, 0.0), axis=0, keepdims=True)
     cv = jnp.sum(jnp.where(sel, v, 0.0), axis=0, keepdims=True)
-    cattr = jax.lax.dot_general(
-        chunk[:, PACK_ATTR0 : PACK_ATTR0 + ATTR_K],       # (M, AK)
+    cattr = jnp.dot(
+        chunk[PACK_ATTR0 : PACK_ATTR0 + ATTR_K, :],       # (AK, M)
         sel.astype(jnp.float32),                          # (M, 128)
-        dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                                     # (AK, 128)
     return tmin, idsel, cu, cv, cattr
@@ -251,7 +262,7 @@ def _closest_kernel(
             cid = jnp.where(
                 overflow > 0, j, ids_ref[b, jnp.minimum(j, Le - 1)]
             )
-            chunk = pack_ref[pl.ds(cid * M, M), :]        # (M, PACK_W)
+            chunk = pack_ref[pl.ds(cid * PACK_W, PACK_W), :]
             return _closest_merge(carry, _visit_chunk(chunk, o, d))
 
         carry = jax.lax.fori_loop(0, trip, body, _closest_init())
@@ -281,7 +292,7 @@ def _any_kernel(
             cid = jnp.where(
                 overflow > 0, j, ids_ref[b, jnp.minimum(j, Le - 1)]
             )
-            chunk = pack_ref[pl.ds(cid * M, M), :]
+            chunk = pack_ref[pl.ds(cid * PACK_W, PACK_W), :]
             return j + 1, occ | _visit_chunk(chunk, o, d, tmax, excl)
 
         _, occ = jax.lax.while_loop(
@@ -313,7 +324,7 @@ def _stream_closest_kernel(
 
         def dma(slot, j):
             return pltpu.make_async_copy(
-                pack_hbm.at[pl.ds(cid_of(j) * M, M), :],
+                pack_hbm.at[pl.ds(cid_of(j) * PACK_W, PACK_W), :],
                 scratch.at[slot],
                 sem.at[slot],
             )
@@ -358,7 +369,7 @@ def _stream_any_kernel(
 
         def dma(slot, j):
             return pltpu.make_async_copy(
-                pack_hbm.at[pl.ds(cid_of(j) * M, M), :],
+                pack_hbm.at[pl.ds(cid_of(j) * PACK_W, PACK_W), :],
                 scratch.at[slot],
                 sem.at[slot],
             )
@@ -441,7 +452,7 @@ def _closest_call(meta, ids, o3, d3, packed, M, Le, stream, interpret=False):
         ],
         scratch_shapes=(
             [
-                pltpu.VMEM((2, M, PACK_W), jnp.float32),
+                pltpu.VMEM((2, PACK_W, M), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ]
             if stream
@@ -471,7 +482,7 @@ def _any_call(meta, ids, o3, d3, tmax, excl, packed, M, Le, stream,
         out_specs=row,
         scratch_shapes=(
             [
-                pltpu.VMEM((2, M, PACK_W), jnp.float32),
+                pltpu.VMEM((2, PACK_W, M), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ]
             if stream
@@ -547,17 +558,19 @@ def make_cluster_intersectors(
         attrT_orig = _prep_attrs(scene, 1)                 # (ATTR_K, T)
         tri_perm = jnp.where(real[:, None], tri_orig[safe_oid], 0.0)
         attr_perm = jnp.where(
-            real[:, None], attrT_orig.T[safe_oid], 0.0
-        )                                                  # (K*M, ATTR_K)
+            real[None, :], attrT_orig[:, safe_oid], 0.0
+        )                                                  # (ATTR_K, K*M)
+        geo = jnp.concatenate(
+            [tri_perm, oid_f[:, None]], axis=1             # (K*M, 10)
+        ).reshape(K, M, 10).transpose(0, 2, 1)             # (K, 10, M)
         packed = jnp.concatenate(
             [
-                tri_perm,                                  # [0:9]
-                oid_f[:, None],                            # [9]
-                jnp.zeros((K * M, PACK_ATTR0 - 10), jnp.float32),
-                attr_perm,                                 # [16:48]
+                geo,                                       # rows [0:10]
+                jnp.zeros((K, PACK_ATTR0 - 10, M), jnp.float32),
+                attr_perm.reshape(ATTR_K, K, M).transpose(1, 0, 2),
             ],
             axis=1,
-        )
+        ).reshape(K * PACK_W, M)                           # field-major
         return tri_orig, attrT_orig, packed
 
     def _closest_impl(o3, d3, attr_scene):
