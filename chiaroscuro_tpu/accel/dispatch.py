@@ -42,7 +42,13 @@ def make_intersectors(
         on_tpu = jax.default_backend() == "tpu"
         if scene.n_tris > AUTO_BVH_THRESHOLD:
             # Large scenes: cluster-culled Pallas on TPU, threaded BVH on CPU.
-            method = "cluster" if on_tpu else "bvh"
+            # The cluster path packs triangle ids into float32 mantissas and
+            # caps at 2^24 tris (ops/cluster_pallas.py ID_SENTINEL); beyond
+            # that auto must degrade to the BVH walk rather than raise.
+            if on_tpu and scene.n_tris < 2**24:
+                method = "cluster"
+            else:
+                method = "bvh"
         elif on_tpu:
             # Dense VMEM-resident sweep beats XLA's HBM-bound formulation
             # on-chip for small scenes (no cull pass to amortize).

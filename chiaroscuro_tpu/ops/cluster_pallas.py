@@ -128,7 +128,10 @@ def _cull_rows(o3, d3, bmin, bmax, Lmax, tmax=None):
     CK = 32                                # clusters per scan chunk
     Kp = -(-K // CK) * CK
     pad = Kp - K
-    # Padded boxes are inverted (min > max) => never hit.
+    # Padding note: inverted boxes (min > max) do NOT test as misses here —
+    # lo=min(t0,t1)/hi=max(t0,t1) undoes the inversion, so padded columns
+    # test as the infinite box and DO register hits.  They are harmless only
+    # because ``rowhit`` is sliced to [:, :K] below before count/top_k.
     bmn = jnp.concatenate([bmin, jnp.full((pad, 3), BIG)]) if pad else bmin
     bmx = jnp.concatenate([bmax, jnp.full((pad, 3), -BIG)]) if pad else bmax
 

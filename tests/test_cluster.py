@@ -70,9 +70,18 @@ def test_builder_partitions_triangles(rng):
     np.testing.assert_array_equal(np.sort(ca.order), np.arange(333))
     real = ca.orig_id[ca.orig_id < 333]
     np.testing.assert_array_equal(np.sort(real), np.arange(333))
-    # Median split guarantees > M/2 occupancy per cluster (except a tiny
-    # scene that fits one cluster).
-    assert ca.K == -(-333 * 2 // 16) or ca.K >= 1
+    # pack=True re-chunks the DFS order into full clusters: K is exactly
+    # ceil(T / M) and every cluster but the last is fully occupied.
+    assert ca.K == -(-333 // 16)
+    occ = np.array([(ca.orig_id[k * 16:(k + 1) * 16] < 333).sum()
+                    for k in range(ca.K)])
+    assert (occ[:-1] == 16).all() and occ[-1] == 333 - 16 * (ca.K - 1)
+    # pack=False keeps one cluster per median-split leaf: the exact-median
+    # split guarantees every leaf holds > M/2 triangles.
+    cu = build_clusters(v0, v1, v2, M=16, pack=False)
+    occ_u = np.array([(cu.orig_id[k * 16:(k + 1) * 16] < 333).sum()
+                      for k in range(cu.K)])
+    assert (occ_u > 16 // 2).all()
     # Boxes bound their members (with padding).
     for k in range(ca.K):
         sl = slice(k * ca.M, (k + 1) * ca.M)
