@@ -43,6 +43,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         run_preview(renderer)
     else:
         renderer.ray_trace(cfg.vp, cfg.la, cfg.up, cfg.yview)
+        if cfg.profile:
+            renderer.profile_phases()
 
     renderer.export_image(cfg.render_path)
     return 0

@@ -182,8 +182,16 @@ def trace_paths_planar(
     background: jax.Array,    # (3,)
     closest_fn: ClosestFn,
     any_fn: AnyFn,
+    with_stats: bool = False,
 ) -> jax.Array:
     """Estimate radiance for a planar wavefront. Returns (3, B0, 128).
+
+    With ``with_stats=True`` returns ``(radiance, stats)`` where stats is a
+    (depth, 2) f32 array of per-bounce useful-work counts:
+    ``stats[k] = (lanes active at bounce entry, lanes that hit)`` — i.e. the
+    closest-hit and shadow queries whose results are actually consumed.  The
+    wavefront *issues* full-width queries regardless (masked lanes ride
+    along); the ratio stats/issued is the SIMD occupancy of the wavefront.
 
     All per-ray state is kept **2-D over the ray axis** — scalars as
     (B0, 128), vec3 as planar (3, B0, 128) — for full (8, 128)-tile
@@ -443,7 +451,13 @@ def trace_paths_planar(
         origin = P.pwhere(hit, point + EPS_OFFSET * normal, origin)
         direction = P.pwhere(new_active, wi, direction)
 
-        return (origin, direction, throughput, radiance, new_active), None
+        stats = jnp.stack(
+            [
+                jnp.sum(active, dtype=jnp.float32),
+                jnp.sum(hit, dtype=jnp.float32),
+            ]
+        )
+        return (origin, direction, throughput, radiance, new_active), stats
 
     init = (
         origins,
@@ -452,7 +466,9 @@ def trace_paths_planar(
         jnp.zeros((3,) + B, jnp.float32),
         jnp.ones(B, bool),
     )
-    (_, _, _, radiance, _), _ = jax.lax.scan(
+    (_, _, _, radiance, _), stats = jax.lax.scan(
         bounce, init, jnp.arange(1, depth + 1)
     )
+    if with_stats:
+        return radiance, stats
     return radiance

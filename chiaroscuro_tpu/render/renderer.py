@@ -53,6 +53,7 @@ def render_samples(
     background,
     closest_fn: ClosestFn,
     any_fn: AnyFn,
+    with_stats: bool = False,
 ) -> jax.Array:
     """Mean radiance over samples [sample_start, sample_start+n_samples) for
     each pixel of the tile.  Returns (R, 3) float32.
@@ -60,6 +61,10 @@ def render_samples(
     Sample loop = ``lax.scan``; every sample's randomness is keyed on the
     global (pixel index, sample index) so the result is bitwise independent of
     tiling/sharding (see ``sampling/prng.py``).
+
+    With ``with_stats=True`` returns ``(img, stats)``, stats = (depth, 2) f32
+    useful-query counts summed over samples (see
+    :func:`~chiaroscuro_tpu.render.integrator.trace_paths_planar`).
     """
     eye = jnp.asarray(eye, jnp.float32)
     background = jnp.asarray(background, jnp.float32)
@@ -80,22 +85,29 @@ def render_samples(
     origins = jnp.broadcast_to(eye[:, None, None], (3,) + B)
 
     def one_sample(acc, s):
+        acc_img, acc_stats = acc
         k0, k1 = prng.base_key(seed, pixel_idx, s)
         jx, jy = prng.aa_jitter_pair(k0, k1)
         dirs = primary_ray_dirs_planar(left_upper, dx, dy, pxf, pyf, jx, jy)
-        radiance = trace_paths_planar(
+        radiance, stats = trace_paths_planar(
             scene, origins, dirs, k0, k1, depth, background,
-            closest_fn, any_fn,
+            closest_fn, any_fn, with_stats=True,
         )
-        return acc + radiance, None
+        return (acc_img + radiance, acc_stats + stats), None
 
-    init = jnp.zeros((3,) + B, jnp.float32)
-    total, _ = jax.lax.scan(
+    init = (
+        jnp.zeros((3,) + B, jnp.float32),
+        jnp.zeros((depth, 2), jnp.float32),
+    )
+    (total, stats), _ = jax.lax.scan(
         one_sample, init, sample_start + jnp.arange(n_samples)
     )
     from chiaroscuro_tpu.geometry import planar as P
 
-    return P.to_rows(total)[:R] * (1.0 / n_samples)
+    img = P.to_rows(total)[:R] * (1.0 / n_samples)
+    if with_stats:
+        return img, stats
+    return img
 
 
 @partial(
@@ -113,12 +125,12 @@ def _render_frame_jit(
         jnp.arange(xres, dtype=jnp.int32),
         indexing="ij",
     )
-    flat = render_samples(
+    flat, stats = render_samples(
         scene, eye, center, up, yview, xres, yres,
         xs.reshape(-1), ys.reshape(-1), sample_start, n_samples,
-        seed, depth, background, closest_fn, any_fn,
+        seed, depth, background, closest_fn, any_fn, with_stats=True,
     )
-    return flat.reshape(yres, xres, 3)
+    return flat.reshape(yres, xres, 3), stats
 
 
 def render_image(
@@ -131,17 +143,22 @@ def render_image(
     sample_start: int = 0,
     n_samples: Optional[int] = None,
     intersectors: Optional[Tuple[ClosestFn, AnyFn]] = None,
+    with_stats: bool = False,
 ) -> jax.Array:
-    """Render a full frame (yres, xres, 3) with the config's camera/settings."""
+    """Render a full frame (yres, xres, 3) with the config's camera/settings.
+
+    ``with_stats=True`` additionally returns the (depth, 2) useful-query
+    counts (active closest / shadow queries, summed over all samples)."""
     closest_fn, any_fn = intersectors or make_intersectors(scene, cfg.intersector)
     n_samples = cfg.samples if n_samples is None else n_samples
     spc = cfg.spp_chunk if cfg.spp_chunk > 0 else n_samples
 
     total = None
+    stats_total = None
     done = 0
     while done < n_samples:
         step = min(spc, n_samples - done)
-        img = _render_frame_jit(
+        img, stats = _render_frame_jit(
             scene,
             jnp.asarray(eye if eye is not None else cfg.vp, jnp.float32),
             jnp.asarray(center if center is not None else cfg.la, jnp.float32),
@@ -158,8 +175,12 @@ def render_image(
             any_fn,
         )
         total = img * step if total is None else total + img * step
+        stats_total = stats if stats_total is None else stats_total + stats
         done += step
-    return total * (1.0 / n_samples)
+    img = total * (1.0 / n_samples)
+    if with_stats:
+        return img, stats_total
+    return img
 
 
 class Renderer:
@@ -174,6 +195,7 @@ class Renderer:
         self.max_val = 0.0
         self._layers = 0
         self._last_cam: Optional[Tuple] = None
+        self.last_stats: Optional[dict] = None
 
     def ray_trace(self, eye=None, center=None, up=None, yview=None) -> np.ndarray:
         """One render pass; same-camera passes average progressively."""
@@ -203,23 +225,61 @@ class Renderer:
         # running-averaging N layers is *exactly* a single N*spp-sample render
         # (the reference reseeds from entropy instead, rayTracer.cpp:54 — our
         # determinism is a documented improvement).
-        img = np.asarray(
-            render_image(
-                self.scene,
-                cfg,
-                eye=eye,
-                center=center,
-                up=up,
-                yview=yview,
-                sample_start=(self._layers - 1) * cfg.samples,
-                n_samples=cfg.samples,
-                intersectors=self.intersectors,
-            )
+        img, stats = render_image(
+            self.scene,
+            cfg,
+            eye=eye,
+            center=center,
+            up=up,
+            yview=yview,
+            sample_start=(self._layers - 1) * cfg.samples,
+            n_samples=cfg.samples,
+            intersectors=self.intersectors,
+            with_stats=True,
         )
+        img = np.asarray(img)
+        stats = np.asarray(stats)
         self.pixels = (self.pixels * (self._layers - 1) + img) / self._layers
         self.max_val = float(self.pixels.max(initial=0.0))
-        print(f"took {time.perf_counter() - t0:.3f} seconds.")
+        dt = time.perf_counter() - t0
+        # Useful-work accounting (SURVEY.md §5 observability): the wavefront
+        # issues full-width queries every bounce; `stats` counts the lanes
+        # whose result is consumed.  Mirrors the reference's only
+        # instrumentation (timing print, rayTracer.cpp:72-73) + rays/s.
+        issued = 2.0 * cfg.xres * cfg.yres * cfg.samples * cfg.k
+        useful = float(stats.sum())
+        self.last_stats = {
+            "seconds": dt,
+            "queries_issued": issued,
+            "queries_useful": useful,
+            "occupancy": useful / max(issued, 1.0),
+            "useful_rays_per_sec": useful / max(dt, 1e-12),
+            "per_bounce_active": stats[:, 0].tolist(),
+            "per_bounce_hit": stats[:, 1].tolist(),
+        }
+        print(
+            f"took {dt:.3f} seconds. "
+            f"[{useful / max(dt, 1e-12) / 1e6:.1f} Mray/s useful, "
+            f"{issued / max(dt, 1e-12) / 1e6:.1f} Mray/s issued, "
+            f"occupancy {100.0 * useful / max(issued, 1.0):.0f}%]"
+        )
         return self.pixels
+
+    def profile_phases(self, spp: Optional[int] = None) -> dict:
+        """Measured per-phase breakdown of one frame at the config camera
+        (see ``utils/profiling.profile_phases``); prints and returns it."""
+        from chiaroscuro_tpu.utils import profiling
+
+        cfg = self.cfg
+        phases = profiling.profile_phases(
+            self.scene, *self.intersectors,
+            cfg.vp, cfg.la, cfg.up, cfg.yview,
+            cfg.xres, cfg.yres,
+            min(cfg.samples, 16) if spp is None else spp, cfg.k,
+            seed=cfg.seed,
+        )
+        print(profiling.format_phase_report(phases))
+        return phases
 
     def normalize_image(self, exposure: Optional[float] = None) -> np.ndarray:
         """Tone-mapped uint8 image (``rayTracer.cpp:198-223``)."""

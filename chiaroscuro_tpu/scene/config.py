@@ -37,7 +37,7 @@ Vec3 = Tuple[float, float, float]
 KEYWORDS = {
     "no-preview", "input", "output", "k", "xres", "yres", "VP", "LA", "UP",
     "yview", "preview-height", "samples", "exposure", "kdtree-leaf-size",
-    "seed", "intersector", "spp-chunk", "platform", "specular",
+    "seed", "intersector", "spp-chunk", "platform", "specular", "profile",
 }
 
 
@@ -76,6 +76,7 @@ class RenderConfig:
     spp_chunk: int = 0               # render samples in chunks of this size (0 = all at once)
     platform: str = ""               # force a jax platform ("cpu"/"tpu"; "" = default)
     enable_specular: bool = False    # Phong specular extension (off = reference parity)
+    profile: bool = False            # print a measured per-phase breakdown after rendering
     light_points: list = dataclasses.field(default_factory=list)  # [LightPoint]
 
     @classmethod
@@ -141,6 +142,8 @@ class RenderConfig:
                 cfg.platform = take()
             elif tok == "specular":
                 cfg.enable_specular = take().lower() in ("on", "true", "1")
+            elif tok == "profile":
+                cfg.profile = take().lower() in ("on", "true", "1")
             else:
                 print(f'Invalid argument "{tok}"', file=sys.stderr)
             i += 1

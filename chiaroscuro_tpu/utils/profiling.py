@@ -1,9 +1,18 @@
 """Timing + profiling utilities.
 
 The reference's only instrumentation is a wall-clock print per render
-(``src/rayTracer.cpp:39,72-73``).  Here: a phase timer with rays/sec
-reporting, and an opt-in ``jax.profiler`` trace context for TPU runs
-(SURVEY.md §5 tracing gap).
+(``src/rayTracer.cpp:39,72-73``).  Here:
+
+- :class:`PhaseTimer` — wall-clock accumulation per named phase;
+- :func:`trace` — opt-in ``jax.profiler`` trace context for TPU runs;
+- :func:`profile_phases` — a measured per-phase breakdown
+  (raygen / closest-hit / shadow / shade+control) of one rendered frame, used
+  by the renderer's ``profile`` mode and the roofline analysis in
+  ``docs/PERF.md``.
+
+Useful-work accounting (active-ray counts per bounce) lives in the integrator
+itself (``render/integrator.py`` ``with_stats``) because it must be computed
+inside the traced graph; the renderer prints it in its banner.
 """
 
 from __future__ import annotations
@@ -13,6 +22,7 @@ import time
 from typing import Dict, Iterator, Optional
 
 import jax
+import jax.numpy as jnp
 
 
 class PhaseTimer:
@@ -55,8 +65,161 @@ def trace(log_dir: Optional[str]) -> Iterator[None]:
         jax.profiler.stop_trace()
 
 
-def rays_per_second(
-    xres: int, yres: int, spp: int, depth: int, seconds: float
-) -> float:
-    """Wavefront ray-query throughput: closest + shadow queries issued."""
-    return xres * yres * spp * depth * 2 / max(seconds, 1e-12)
+def issued_ray_queries(xres: int, yres: int, spp: int, depth: int) -> float:
+    """Full-width wavefront queries issued: (closest + shadow) per bounce per
+    sample per pixel.  Masked/dead lanes ride along — compare with the
+    integrator's useful-query stats for SIMD occupancy."""
+    return float(xres) * yres * spp * depth * 2
+
+
+def profile_phases(
+    scene,
+    closest_fn,
+    any_fn,
+    eye,
+    center,
+    up,
+    yview: float,
+    xres: int,
+    yres: int,
+    spp: int,
+    depth: int,
+    seed: int = 0,
+    iters: int = 2,
+) -> Dict[str, float]:
+    """Measured per-phase wall-clock breakdown of one frame (seconds).
+
+    One fused ``jit`` program cannot be timed phase-by-phase from the host, so
+    this times four *separately jitted* programs over identical inputs:
+
+    - ``raygen``  — PRNG keys + AA jitter + primary directions;
+    - ``closest`` — raygen + ``depth x spp`` closest-hit queries on the primary
+      wavefront (re-intersecting the same rays: the pure intersector cost);
+    - ``shadow``  — same trip count of any-hit queries;
+    - ``full``    — the actual renderer program.
+
+    ``shade+control`` is reported as ``full - closest - shadow - raygen``
+    (clamped at 0): the integrator's sampling/shading/masking/scan overhead.
+    The decomposition is approximate — bounce rays in ``full`` are less
+    coherent than the primary rays re-traced here — but every number is a real
+    measurement of a real program on the same shapes.
+    """
+    import numpy as np
+
+    from chiaroscuro_tpu.geometry import planar as P
+    from chiaroscuro_tpu.geometry.camera import (
+        camera_basis,
+        primary_ray_dirs_planar,
+    )
+    from chiaroscuro_tpu.render.renderer import render_samples
+    from chiaroscuro_tpu.sampling import prng
+
+    eye = jnp.asarray(eye, jnp.float32)
+    center = jnp.asarray(center, jnp.float32)
+    up = jnp.asarray(up, jnp.float32)
+    yv = jnp.float32(yview)
+
+    ys, xs = np.meshgrid(
+        np.arange(yres, dtype=np.int32),
+        np.arange(xres, dtype=np.int32),
+        indexing="ij",
+    )
+    px = jnp.asarray(xs.reshape(-1))
+    py = jnp.asarray(ys.reshape(-1))
+    R = px.shape[0]
+    pad = (-R) % 128
+    if pad:
+        px = jnp.concatenate([px, px[:1].repeat(pad, 0)])
+        py = jnp.concatenate([py, py[:1].repeat(pad, 0)])
+    B = ((R + pad) // 128, 128)
+    pixel_idx = (py * xres + px).reshape(B)
+    pxf = px.astype(jnp.float32).reshape(B)
+    pyf = py.astype(jnp.float32).reshape(B)
+
+    closest_planar = getattr(closest_fn, "planar_fn", None)
+    any_planar = getattr(any_fn, "planar_fn", None)
+
+    @jax.jit
+    def raygen(s):
+        lu, dx, dy = camera_basis(eye, center, up, yv, xres, yres)
+        def one(acc, smp):
+            k0, k1 = prng.base_key(jnp.uint32(seed), pixel_idx, smp)
+            jx, jy = prng.aa_jitter_pair(k0, k1)
+            d = primary_ray_dirs_planar(lu, dx, dy, pxf, pyf, jx, jy)
+            return acc + d, None
+        acc, _ = jax.lax.scan(one, jnp.zeros((3,) + B), jnp.arange(spp))
+        return acc
+
+    origins = jnp.broadcast_to(eye[:, None, None], (3,) + B)
+
+    @jax.jit
+    def closest_sweep(s):
+        dirs = raygen(s) / spp
+        def one(acc, _):
+            if closest_planar is not None:
+                res = closest_planar(origins, dirs)
+                t = res.t
+            else:
+                res = closest_fn(P.to_rows(origins), P.to_rows(dirs))
+                t = res.t.reshape(B)
+            return acc + t, None
+        acc, _ = jax.lax.scan(one, jnp.zeros(B), jnp.arange(depth * spp))
+        return acc
+
+    @jax.jit
+    def shadow_sweep(s):
+        dirs = raygen(s) / spp
+        tmax = jnp.full(B, 1e6, jnp.float32)
+        excl = jnp.full(B, -1, jnp.int32)
+        def one(acc, _):
+            if any_planar is not None:
+                occ = any_planar(origins, dirs, tmax, excl)
+            else:
+                occ = any_fn(
+                    P.to_rows(origins), P.to_rows(dirs),
+                    tmax.reshape(-1), excl.reshape(-1),
+                ).reshape(B)
+            return acc + occ.astype(jnp.float32), None
+        acc, _ = jax.lax.scan(one, jnp.zeros(B), jnp.arange(depth * spp))
+        return acc
+
+    @jax.jit
+    def full(s):
+        return render_samples(
+            s, eye, center, up, yv, xres, yres, px, py,
+            jnp.int32(0), spp, jnp.uint32(seed), depth,
+            jnp.zeros(3, jnp.float32), closest_fn, any_fn,
+        )
+
+    def timed(fn):
+        fn(scene).block_until_ready()         # compile + warm
+        best = float("inf")
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            fn(scene).block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_raygen = timed(raygen)
+    t_closest = max(0.0, timed(closest_sweep) - t_raygen)
+    t_shadow = max(0.0, timed(shadow_sweep) - t_raygen)
+    t_full = timed(full)
+    return {
+        "raygen": t_raygen,
+        "closest": t_closest,
+        "shadow": t_shadow,
+        "shade+control": max(0.0, t_full - t_closest - t_shadow - t_raygen),
+        "full": t_full,
+    }
+
+
+def format_phase_report(phases: Dict[str, float]) -> str:
+    full = max(phases.get("full", 0.0), 1e-12)
+    parts = []
+    for name in ("raygen", "closest", "shadow", "shade+control"):
+        if name in phases:
+            parts.append(
+                f"{name} {phases[name] * 1e3:.1f} ms"
+                f" ({100.0 * phases[name] / full:.0f}%)"
+            )
+    return f"phase breakdown (full {full * 1e3:.1f} ms): " + ", ".join(parts)
