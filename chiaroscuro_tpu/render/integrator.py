@@ -396,6 +396,35 @@ def trace_paths_planar(
             nee = lke * (geometric * larea * n_lights)[None] * f_nee
             direct = direct + P.pwhere(~occluded, nee, 0.0)
 
+        # Point-light direct illumination (extension; SceneArrays.pl_pos
+        # docstring).  Deterministic sum over all P lights — no RNG consumed,
+        # so the counter-based streams are identical with/without them.
+        for ipl in range(scene.n_point_lights):
+            plp = scene.pl_pos[ipl][:, None, None]        # (3, 1, 1)
+            ple = scene.pl_emit[ipl][:, None, None]
+            to_l = plp - point
+            pdist = P.pnorm(to_l)
+            pwl = P.pnormalize(to_l)
+            no_excl = jnp.full(B, -1, jnp.int32)
+            if any_planar is not None:
+                pocc = any_planar(
+                    point + EPS_OFFSET * normal, pwl, pdist, no_excl
+                )
+            else:
+                pocc = r2(
+                    any_fn(
+                        P.to_rows(point + EPS_OFFSET * normal),
+                        P.to_rows(pwl),
+                        pdist.reshape(-1),
+                        no_excl.reshape(-1),
+                    )
+                )
+            pgeo = jnp.maximum(0.0, P.pdot(normal, pwl)) / (
+                1.0 + pdist * pdist
+            )
+            f_pl = phong_f(pwl) if scene.has_specular else f_brdf
+            direct = direct + P.pwhere(~pocc, ple * pgeo[None] * f_pl, 0.0)
+
         radiance = radiance + P.pwhere(hit, throughput * direct, 0.0)
 
         # Extend the path (rayTracer.cpp:119-131).

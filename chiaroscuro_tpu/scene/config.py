@@ -38,6 +38,7 @@ KEYWORDS = {
     "no-preview", "input", "output", "k", "xres", "yres", "VP", "LA", "UP",
     "yview", "preview-height", "samples", "exposure", "kdtree-leaf-size",
     "seed", "intersector", "spp-chunk", "platform", "specular", "profile",
+    "point-lights",
 }
 
 
@@ -77,6 +78,10 @@ class RenderConfig:
     platform: str = ""               # force a jax platform ("cpu"/"tpu"; "" = default)
     enable_specular: bool = False    # Phong specular extension (off = reference parity)
     profile: bool = False            # print a measured per-phase breakdown after rendering
+    use_point_lights: bool = True    # shade legacy `L` point lights in the integrator
+                                     # (the reference loads none and shades none; its
+                                     # shipped legacy renders ARE lit by them — see
+                                     # scene_arrays.SceneArrays.pl_pos)
     light_points: list = dataclasses.field(default_factory=list)  # [LightPoint]
 
     @classmethod
@@ -144,6 +149,8 @@ class RenderConfig:
                 cfg.enable_specular = take().lower() in ("on", "true", "1")
             elif tok == "profile":
                 cfg.profile = take().lower() in ("on", "true", "1")
+            elif tok == "point-lights":
+                cfg.use_point_lights = take().lower() in ("on", "true", "1")
             else:
                 print(f'Invalid argument "{tok}"', file=sys.stderr)
             i += 1

@@ -67,6 +67,18 @@ class SceneArrays:
     light_ids: jax.Array    # (L,) int32 triangle ids (L >= 1; dummy if no lights)
     light_areas: jax.Array  # (L,) f32 triangle surface areas
 
+    # --- point lights (extension; see below) ---
+    # The reference declares LightPoint (scene.hpp:11-16) but its parser has
+    # no `L` branch and its integrator never reads lightPoints — yet the
+    # shipped legacy .rtc scenes (nanosuit.rtc, view_test.rtc) carry
+    # `L x y z r g b intensity` lines and the shipped renders
+    # (renders/nanosuit.png, renders/view_test.png) are visibly lit by them.
+    # We parse them (scene/config.py) and shade them in the integrator:
+    # radiant intensity pl_emit = color/255 * intensity, occlusion-tested,
+    # with the codebase's 1/(1+d^2) falloff convention (rayTracer.cpp:106).
+    pl_pos: jax.Array       # (P, 3) f32 positions (P may be 0)
+    pl_emit: jax.Array      # (P, 3) f32 radiant intensity = color/255 * I
+
     # --- world bounds (kdtree.cpp:106-107, padded by 1e-4) ---
     world_min: jax.Array  # (3,) f32
     world_max: jax.Array  # (3,) f32
@@ -74,6 +86,7 @@ class SceneArrays:
     # --- static metadata (not traced) ---
     n_tris: int = dataclasses.field(metadata=dict(static=True), default=0)
     n_lights: int = dataclasses.field(metadata=dict(static=True), default=0)
+    n_point_lights: int = dataclasses.field(metadata=dict(static=True), default=0)
     # True iff any triangle uses BRDF_PHONG (enables the specular code path
     # in the integrator; False keeps exact reference-estimator parity).
     has_specular: bool = dataclasses.field(metadata=dict(static=True), default=False)
@@ -90,9 +103,10 @@ jax.tree_util.register_dataclass(
         "kd", "ke", "ks", "shininess", "brdf_type",
         "uv0", "uv1", "uv2", "tex_id", "tex_id_ks",
         "tex_data", "tex_offset", "tex_width", "tex_height",
-        "light_ids", "light_areas", "world_min", "world_max",
+        "light_ids", "light_areas", "pl_pos", "pl_emit",
+        "world_min", "world_max",
     ],
-    meta_fields=["n_tris", "n_lights", "has_specular"],
+    meta_fields=["n_tris", "n_lights", "n_point_lights", "has_specular"],
 )
 
 
@@ -106,6 +120,7 @@ def build_scene_arrays(
     textures: Optional[Dict[str, np.ndarray]] = None,
     device_put: bool = True,
     enable_specular: bool = False,
+    point_lights: Sequence = (),
 ) -> SceneArrays:
     """Flatten meshes into the SoA pytree (reference ``kdtree.cpp:34-108``).
 
@@ -197,6 +212,15 @@ def build_scene_arrays(
     world_min = all_pts.min(axis=0) - 1.0e-4  # kdtree.cpp:106-107
     world_max = all_pts.max(axis=0) + 1.0e-4
 
+    n_pl = len(point_lights)
+    pl_pos = np.zeros((n_pl, 3), np.float32)
+    pl_emit = np.zeros((n_pl, 3), np.float32)
+    for i, lp in enumerate(point_lights):
+        pl_pos[i] = np.asarray(lp.position, np.float32)
+        pl_emit[i] = (
+            np.asarray(lp.color, np.float32) / 255.0 * float(lp.intensity)
+        )
+
     put = jnp.asarray if device_put else np.asarray
     return SceneArrays(
         tri_v0=put(tri_v0),
@@ -219,10 +243,13 @@ def build_scene_arrays(
         tex_height=put(np.asarray(heights, np.int32)),
         light_ids=put(np.asarray(light_ids, np.int32)),
         light_areas=put(np.asarray(light_areas, np.float32)),
+        pl_pos=put(pl_pos),
+        pl_emit=put(pl_emit),
         world_min=put(world_min.astype(np.float32)),
         world_max=put(world_max.astype(np.float32)),
         n_tris=n_tris,
         n_lights=n_lights,
+        n_point_lights=n_pl,
         has_specular=bool(
             enable_specular
             and any(int(t[0]) == BRDF_PHONG for t in types if len(t))
@@ -245,7 +272,11 @@ def load_scene(cfg: RenderConfig, **obj_kwargs) -> SceneArrays:
         meshes = getattr(builtin, name)()
     else:
         meshes = load_obj(cfg.obj_path, **obj_kwargs)
-    scene = build_scene_arrays(meshes, enable_specular=cfg.enable_specular)
+    scene = build_scene_arrays(
+        meshes,
+        enable_specular=cfg.enable_specular,
+        point_lights=cfg.light_points if cfg.use_point_lights else (),
+    )
     _log_scene(scene)
     return scene
 
