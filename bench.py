@@ -1,26 +1,38 @@
-"""Benchmark: path-tracing throughput on the flagship Cornell scene.
+"""Benchmark: path-tracing throughput + the named headline configs.
 
 Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, "extra": {...}}
 
-Primary metric: wavefront ray-query throughput (closest-hit + shadow queries
-issued per second) for a 512x512 render of the Cornell box at the given spp
-and depth, on whatever backend JAX selects (one TPU chip under the driver).
+Primary metric: **useful** ray-query throughput (closest-hit + shadow
+queries whose result is actually consumed by an active wavefront lane) for
+a 512x512 render of the Cornell box, on whatever backend JAX selects (one
+TPU chip under the driver).  Dead/masked lanes are NOT counted as work —
+the issued-query rate and SIMD occupancy are reported alongside in
+``extra`` so the gap is visible (VERDICT r1 "self-flattering metric" fix).
 
-``vs_baseline``: the reference publishes no numbers (BASELINE.md — a
-two-line-README university project).  We anchor against a measured estimate of
-the reference-class CPU path tracer: ~5e6 ray queries/sec on a multicore CPU
-(OpenMP, kd-tree; typical for 2-4 GHz x 8 threads on simple diffuse scenes).
-vs_baseline = value / 5e6.
+``vs_baseline``: the reference publishes no numbers and cannot be built
+here (missing prng.cpp per SURVEY.md quirk 1; no assimp/freeimage/glfw on
+this host), so the baseline is **measured on this host's CPU**: the same
+renderer, same scene, same estimator on the JAX CPU backend using all host
+cores — a same-semantics stand-in for the reference's OpenMP CPU design.
+vs_baseline = TPU useful rays/s / host-CPU useful rays/s.  If the CPU
+measurement fails, falls back to a documented reference-class estimate
+(5e6 q/s: ~2-4 GHz x 8 threads, kd-tree diffuse scenes) and flags it in
+``extra.baseline_source``.
 
-Robustness: the measurement runs in a *subprocess* per intersector backend
-(Pallas first, pure-XLA brute force as fallback) with a wall-clock budget —
-a wedged TPU-tunnel compile can otherwise hang a single-process bench
-forever.  The orchestrator itself never imports jax.
+extra metrics (BASELINE.md / VERDICT r1 asks):
+  - cornell_500spp_forward_ms   : 512x512 @ 500 spp forward wall-clock
+  - cornell_500spp_fwdbwd_ms    : same config, value_and_grad w.r.t.
+                                  (kd, ke) with 50-spp gradient accumulation
+  - nanosuit_cluster_*          : nanosuit (19k tris, textured) 1024x1024
+                                  @ 1 spp on the cluster intersector —
+                                  the large-scene TPU path (fwd + fwd/bwd)
+  - occupancy / issued rates for each config
 
-Extra diagnostics (stderr): per-config timings, fwd+bwd wall-clock for the
-differentiable path (cornell 512x512), matching BASELINE.json's
-"cornell_box 512x512 fwd+bwd ms" metric.
+Robustness: measurements run in a *subprocess* per intersector backend
+(auto first, brute-force fallback) with a wall-clock budget — a wedged
+TPU-tunnel compile can otherwise hang a single-process bench forever.
+The orchestrator itself never imports jax.
 """
 
 from __future__ import annotations
@@ -30,26 +42,32 @@ import os
 import sys
 import time
 
-CPU_BASELINE_RAYS_PER_SEC = 5.0e6
+# Documented fallback ONLY (see module docstring); preferred baseline is
+# measured on this host's CPU by the cpu-baseline worker.
+FALLBACK_CPU_RAYS_PER_SEC = 5.0e6
+
+REFERENCE_DIR = "/root/reference"
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build():
+# --------------------------------------------------------------------------
+# Workers (import jax; run inside a budgeted subprocess)
+# --------------------------------------------------------------------------
+
+
+def _cornell():
     from chiaroscuro_tpu.scene.builtin import CORNELL_CAMERA, cornell_box
     from chiaroscuro_tpu.scene.scene_arrays import build_scene_arrays
 
     scene = build_scene_arrays(cornell_box())
-    cam = CORNELL_CAMERA
-    return scene, cam
+    return scene, CORNELL_CAMERA
 
 
-def bench_forward(
-    scene, cam, intersector="auto", xres=512, yres=512, spp=16, depth=3,
-    iters=3,
-):
+def _frame_fn(scene, cam, intersector, xres, yres, spp, depth):
+    """Jitted frame returning (flat_img, stats) for the full pixel grid."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -74,32 +92,59 @@ def bench_forward(
         return render_samples(
             scene, eye, center, up, jnp.float32(cam["yview"]),
             xres, yres, px, py, sample_start, spp, jnp.uint32(0), depth,
-            jnp.zeros(3, jnp.float32), closest_fn, any_fn,
+            jnp.zeros(3, jnp.float32), closest_fn, any_fn, with_stats=True,
         )
 
-    # Warmup/compile.
+    return frame
+
+
+def bench_forward(scene, cam, intersector, xres=512, yres=512, spp=16,
+                  depth=3, iters=3, tag="cornell"):
+    """Returns dict with useful/issued rays-per-sec + occupancy + ms."""
+    import jax
+    import jax.numpy as jnp
+
+    frame = _frame_fn(scene, cam, intersector, xres, yres, spp, depth)
     t0 = time.perf_counter()
-    frame(scene, jnp.int32(0)).block_until_ready()
-    log(f"[{intersector}] compile+first run: {time.perf_counter() - t0:.2f}s")
+    _, stats = frame(scene, jnp.int32(0))
+    jax.block_until_ready(stats)
+    log(f"[{tag}/{intersector}] compile+first run: "
+        f"{time.perf_counter() - t0:.2f}s")
 
     times = []
     for i in range(iters):
         t0 = time.perf_counter()
-        frame(scene, jnp.int32((i + 1) * spp)).block_until_ready()
+        _, stats = frame(scene, jnp.int32((i + 1) * spp))
+        jax.block_until_ready(stats)
         times.append(time.perf_counter() - t0)
     dt = min(times)
+    useful = float(stats.sum())
+    issued = float(xres * yres * spp * depth * 2)
+    out = {
+        "ms": dt * 1e3,
+        "useful_rays_per_sec": useful / dt,
+        "issued_rays_per_sec": issued / dt,
+        "occupancy": useful / issued,
+        "spp": spp,
+        "depth": depth,
+        "res": [xres, yres],
+    }
+    log(f"[{tag}/{intersector}] forward {xres}x{yres} @ {spp}spp depth={depth}: "
+        f"{dt * 1e3:.1f} ms -> {useful / dt / 1e6:.1f} Mray/s useful "
+        f"({issued / dt / 1e6:.1f} issued, occ {100 * useful / issued:.0f}%)")
+    return out
 
-    # Wavefront work issued: per sample and pixel, `depth` closest-hit
-    # queries + `depth` shadow queries (masked lanes still execute).
-    queries = xres * yres * spp * depth * 2
-    rays_per_sec = queries / dt
-    log(f"[{intersector}] forward {xres}x{yres} @ {spp}spp depth={depth}: "
-        f"{dt * 1e3:.1f} ms -> {rays_per_sec / 1e6:.1f} Mray-queries/s")
-    return rays_per_sec, dt
 
+def bench_500spp(scene, cam, intersector, xres=512, yres=512, depth=3,
+                 spp=500, chunk=100):
+    """The named headline: cornell 512x512 @ 500 spp — forward wall-clock
+    and fwd+bwd (BASELINE.md "cornell_box 512x512 @ 500 spp, fwd+bwd").
 
-def bench_fwd_bwd(scene, cam, intersector="auto", xres=512, yres=512, spp=4,
-                  depth=3):
+    The backward pass remats the per-sample scan body (renderer
+    ``remat=True``): without it the scan residuals are O(pixels * spp)
+    (measured: 450 MB per buffer at 50 spp -> HBM OOM); with it the
+    backward recomputes each sample's forward and memory is O(pixels).
+    Gradient accumulation over `chunk`-spp slices bounds compile time."""
     import dataclasses
 
     import jax
@@ -119,89 +164,251 @@ def bench_fwd_bwd(scene, cam, intersector="auto", xres=512, yres=512, spp=4,
     eye = jnp.asarray(cam["eye"], jnp.float32)
     center = jnp.asarray(cam["center"], jnp.float32)
     up = jnp.asarray(cam["up"], jnp.float32)
+    n_chunks = spp // chunk
+
+    out = {"spp": spp, "grad_accum_chunk": chunk}
+
+    # ---- forward ----
+    frame = _frame_fn(scene, cam, intersector, xres, yres, chunk, depth)
+    img, _ = frame(scene, jnp.int32(0))
+    jax.block_until_ready(img)  # compile
+    t0 = time.perf_counter()
+    acc = None
+    for i in range(n_chunks):
+        img, _ = frame(scene, jnp.int32(i * chunk))
+        acc = img if acc is None else acc + img
+    jax.block_until_ready(acc)
+    out["forward_ms"] = (time.perf_counter() - t0) * 1e3
+    log(f"[cornell/{intersector}] forward {xres}x{yres} @ {spp}spp: "
+        f"{out['forward_ms']:.0f} ms")
+
+    # ---- fwd+bwd (remat sample loop + grad accumulation) ----
+    def chunk_loss(params, scene, sample_start):
+        s = dataclasses.replace(scene, **params)
+        closest_fn, any_fn = make_intersectors(s, intersector)
+        img = render_samples(
+            s, eye, center, up, jnp.float32(cam["yview"]),
+            xres, yres, px, py, sample_start, chunk, jnp.uint32(0), depth,
+            jnp.zeros(3, jnp.float32), closest_fn, any_fn, remat=True,
+        )
+        return jnp.mean(img) / n_chunks
+
+    params = {"kd": scene.kd, "ke": scene.ke}
+    try:
+        grad_fn = jax.jit(jax.value_and_grad(chunk_loss))
+        l, g = grad_fn(params, scene, jnp.int32(0))
+        jax.block_until_ready(g)  # compile
+        t0 = time.perf_counter()
+        loss = 0.0
+        grads = None
+        for i in range(n_chunks):
+            l, g = grad_fn(params, scene, jnp.int32(i * chunk))
+            loss = loss + l
+            grads = g if grads is None else jax.tree.map(jnp.add, grads, g)
+        jax.block_until_ready(grads)
+        out["fwdbwd_ms"] = (time.perf_counter() - t0) * 1e3
+        log(f"[cornell/{intersector}] fwd+bwd {xres}x{yres} @ {spp}spp "
+            f"(x{n_chunks} grad-accum, remat): {out['fwdbwd_ms']:.0f} ms "
+            f"(loss={float(loss):.4f})")
+    except Exception as e:
+        log(f"[cornell/{intersector}] fwd+bwd {spp}spp failed: {e}")
+    return out
+
+
+def bench_nanosuit(intersector="cluster", xres=1024, yres=1024, spp=1,
+                   depth=3):
+    """Large-scene path: nanosuit (19k tris, textured) on the cluster
+    intersector — the flagship TPU kernel (VERDICT r1 item 1).
+
+    Camera/scene from the reference's own nanosuit.rtc (legacy format);
+    resolution overridden to 1024x1024 @ 1 spp per the driver ask, depth
+    raised 1 -> 3 so bounced (incoherent) rays are exercised, not just the
+    primary-visibility pass."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from chiaroscuro_tpu.scene.config import RenderConfig
+    from chiaroscuro_tpu.scene.scene_arrays import load_scene
+
+    rtc = os.path.join(REFERENCE_DIR, "nanosuit.rtc")
+    cfg = RenderConfig.from_rtc(
+        rtc, ["xres", str(xres), "yres", str(yres), "samples", str(spp),
+              "k", str(depth), "intersector", intersector],
+    )
+    cfg.obj_path = os.path.join(REFERENCE_DIR, cfg.obj_path)
+    scene = load_scene(cfg)
+    log(f"[nanosuit] {scene.n_tris} tris, "
+        f"{scene.tex_data.shape[0]} atlas texels")
+    cam = {"eye": cfg.vp, "center": cfg.la, "up": cfg.up, "yview": cfg.yview}
+
+    fwd = bench_forward(scene, cam, intersector, xres, yres, spp, depth,
+                        iters=3, tag="nanosuit")
+
+    # fwd+bwd on the large scene: grads w.r.t. material albedo + emission.
+    from chiaroscuro_tpu.accel import make_intersectors
+    from chiaroscuro_tpu.render.renderer import render_samples
+    import numpy as np
+
+    ys, xs = np.meshgrid(np.arange(yres, dtype=np.int32),
+                         np.arange(xres, dtype=np.int32), indexing="ij")
+    px = jnp.asarray(xs.reshape(-1))
+    py = jnp.asarray(ys.reshape(-1))
 
     def loss_fn(params, scene):
         s = dataclasses.replace(scene, **params)
         closest_fn, any_fn = make_intersectors(s, intersector)
         img = render_samples(
-            s, eye, center, up, jnp.float32(cam["yview"]),
+            s, jnp.asarray(cfg.vp, jnp.float32), jnp.asarray(cfg.la, jnp.float32),
+            jnp.asarray(cfg.up, jnp.float32), jnp.float32(cfg.yview),
             xres, yres, px, py, jnp.int32(0), spp, jnp.uint32(0), depth,
             jnp.zeros(3, jnp.float32), closest_fn, any_fn,
         )
         return jnp.mean(img)
 
     params = {"kd": scene.kd, "ke": scene.ke}
-    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
-    t0 = time.perf_counter()
-    loss, grads = grad_fn(params, scene)
-    jax.block_until_ready(grads)
-    log(f"fwd+bwd compile+first: {time.perf_counter() - t0:.2f}s")
-    t0 = time.perf_counter()
-    loss, grads = grad_fn(params, scene)
-    jax.block_until_ready(grads)
-    dt = time.perf_counter() - t0
-    log(f"cornell {xres}x{yres} @ {spp}spp fwd+bwd: {dt * 1e3:.1f} ms "
-        f"(loss={float(loss):.4f})")
-    return dt
-
-
-def _metric_line(rays_per_sec: float) -> str:
-    return json.dumps(
-        {
-            "metric": "cornell_512x512_ray_queries_per_sec",
-            "value": rays_per_sec,
-            "unit": "rays/s",
-            "vs_baseline": rays_per_sec / CPU_BASELINE_RAYS_PER_SEC,
-        }
-    )
+    try:
+        grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+        t0 = time.perf_counter()
+        loss, grads = grad_fn(params, scene)
+        jax.block_until_ready(grads)
+        log(f"[nanosuit/{intersector}] fwd+bwd compile+first: "
+            f"{time.perf_counter() - t0:.2f}s")
+        t0 = time.perf_counter()
+        loss, grads = grad_fn(params, scene)
+        jax.block_until_ready(grads)
+        fwd["fwdbwd_ms"] = (time.perf_counter() - t0) * 1e3
+        log(f"[nanosuit/{intersector}] fwd+bwd {xres}x{yres} @ {spp}spp: "
+            f"{fwd['fwdbwd_ms']:.0f} ms (loss={float(loss):.4f})")
+    except Exception as e:  # diagnostics only
+        log(f"[nanosuit] fwd+bwd failed: {e}")
+    fwd["n_tris"] = int(scene.n_tris)
+    return fwd
 
 
 def worker(intersector: str) -> None:
     import jax
 
     log(f"devices: {jax.devices()}")
-    scene, cam = build()
-    rays_per_sec, _ = bench_forward(scene, cam, intersector)
+    extra = {"backend": jax.default_backend(), "intersector": intersector}
+    scene, cam = _cornell()
+
+    fwd = bench_forward(scene, cam, intersector)
+    extra["cornell_16spp"] = fwd
+
     try:
-        bench_fwd_bwd(scene, cam, intersector)
-    except Exception as e:  # diagnostics only — never break the metric line
-        log(f"fwd+bwd bench failed: {e}")
-    print(_metric_line(rays_per_sec))
+        extra["cornell_500spp"] = bench_500spp(scene, cam, intersector)
+    except Exception as e:
+        log(f"cornell 500spp bench failed: {e}")
+
+    if intersector != "brute":  # cluster needs a real accelerator path
+        try:
+            extra["nanosuit_cluster"] = bench_nanosuit(
+                "cluster" if jax.default_backend() == "tpu" else "bvh"
+            )
+        except Exception as e:
+            log(f"nanosuit bench failed: {e}")
+
+    print("EXTRA " + json.dumps(extra))
+    print(json.dumps({"useful_rays_per_sec": fwd["useful_rays_per_sec"]}))
+
+
+def cpu_baseline_worker() -> None:
+    """Same renderer/scene/estimator on the host CPU (all cores) — the
+    measured stand-in for the reference's OpenMP CPU design."""
+    import jax
+
+    # The TPU plugin overrides a plain JAX_PLATFORMS env on this host;
+    # pin via config before any backend initializes (same pattern as
+    # tests/conftest.py).
+    jax.config.update("jax_platforms", "cpu")
+    log(f"cpu-baseline devices: {jax.devices()}")
+    if jax.default_backend() != "cpu":
+        log("cpu-baseline: could not force CPU backend; aborting")
+        return
+    scene, cam = _cornell()
+    fwd = bench_forward(scene, cam, "brute", spp=4, iters=2, tag="cpu-base")
+    print(json.dumps({"useful_rays_per_sec": fwd["useful_rays_per_sec"]}))
+
+
+# --------------------------------------------------------------------------
+# Orchestrator (never imports jax)
+# --------------------------------------------------------------------------
+
+
+def _last_json(stdout: str):
+    for line in reversed(stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except ValueError:
+            continue
+    return None
+
+
+def _run_worker(args, budget, env=None):
+    import subprocess
+
+    me = os.path.abspath(__file__)
+    full_env = dict(os.environ)
+    if env:
+        full_env.update(env)
+    try:
+        r = subprocess.run(
+            [sys.executable, "-u", me] + args, timeout=budget,
+            capture_output=True, text=True, env=full_env,
+        )
+    except subprocess.TimeoutExpired as e:
+        log(f"bench{args} timed out after {budget}s; "
+            f"stderr tail: {(e.stderr or '')[-500:]}")
+        return None, None
+    sys.stderr.write(r.stderr[-6000:])
+    extra = None
+    for line in r.stdout.strip().splitlines():
+        if line.startswith("EXTRA "):
+            try:
+                extra = json.loads(line[len("EXTRA "):])
+            except ValueError:
+                pass
+    return _last_json(r.stdout), extra
 
 
 def main():
     if len(sys.argv) > 2 and sys.argv[1] == "--worker":
         worker(sys.argv[2])
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--cpu-baseline":
+        cpu_baseline_worker()
+        return
 
-    me = os.path.abspath(__file__)
-    attempts = (("auto", 2100), ("brute", 1200))
-    for intersector, budget in attempts:
-        import subprocess
-
+    result = None
+    extra = {}
+    for intersector, budget in (("auto", 1800), ("brute", 900)):
         log(f"bench attempt: intersector={intersector} budget={budget}s")
-        try:
-            r = subprocess.run(
-                [sys.executable, "-u", me, "--worker", intersector],
-                timeout=budget,
-                capture_output=True,
-                text=True,
-            )
-        except subprocess.TimeoutExpired as e:
-            log(f"bench[{intersector}] timed out after {budget}s; "
-                f"stderr tail: {(e.stderr or '')[-500:]}")
-            continue
-        sys.stderr.write(r.stderr[-4000:])
-        for line in reversed(r.stdout.strip().splitlines()):
-            try:
-                json.loads(line)
-            except ValueError:
-                continue
-            print(line)
-            return
-        log(f"bench[{intersector}] produced no metric (exit {r.returncode})")
-    # Every backend failed — emit an explicit zero so the run is recorded.
-    print(_metric_line(0.0))
+        result, extra_w = _run_worker(["--worker", intersector], budget)
+        if result is not None:
+            extra = extra_w or {}
+            break
+        log(f"bench[{intersector}] produced no metric")
+
+    baseline = FALLBACK_CPU_RAYS_PER_SEC
+    baseline_source = "estimate_5e6_docstring"
+    cpu, _ = _run_worker(["--cpu-baseline"], 600,
+                         env={"JAX_PLATFORMS": "cpu"})
+    if cpu and cpu.get("useful_rays_per_sec", 0) > 0:
+        baseline = cpu["useful_rays_per_sec"]
+        baseline_source = "measured_host_cpu_same_renderer"
+    extra["baseline_useful_rays_per_sec"] = baseline
+    extra["baseline_source"] = baseline_source
+
+    value = result["useful_rays_per_sec"] if result else 0.0
+    print(json.dumps({
+        "metric": "cornell_512x512_useful_rays_per_sec",
+        "value": value,
+        "unit": "rays/s",
+        "vs_baseline": value / baseline,
+        "extra": extra,
+    }))
 
 
 if __name__ == "__main__":

@@ -286,22 +286,27 @@ def _any_kernel(
         tmax = tmax_ref[pl.ds(b, 1), :]
         excl = excl_ref[pl.ds(b, 1), :]
 
+        # The occlusion mask is carried as float32 (0.0 / 1.0), not bool:
+        # Mosaic cannot legalize an `scf.yield` of a vector<i1> loop carry
+        # (verified on v5e — "failed to legalize operation 'scf.yield'",
+        # vector<8x128xi1>), while f32 carries lower fine.
         def cond(state):
-            j, occ = state
-            return (j < trip) & jnp.logical_not(jnp.all(occ))
+            j, occf = state
+            return (j < trip) & (jnp.min(occf) < 1.0)
 
         def body(state):
-            j, occ = state
+            j, occf = state
             cid = jnp.where(
                 overflow > 0, j, ids_ref[b, jnp.minimum(j, Le - 1)]
             )
             chunk = pack_ref[pl.ds(cid * PACK_W, PACK_W), :]
-            return j + 1, occ | _visit_chunk(chunk, o, d, tmax, excl)
+            hit = _visit_chunk(chunk, o, d, tmax, excl)
+            return j + 1, jnp.maximum(occf, hit.astype(jnp.float32))
 
-        _, occ = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), jnp.zeros((1, 128), bool))
+        _, occf = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.zeros((1, 128), jnp.float32))
         )
-        occ_ref[pl.ds(b, 1), :] = occ
+        occ_ref[pl.ds(b, 1), :] = occf > 0.0
         return _
 
     jax.lax.fori_loop(0, TILE_ROWS, row_body, 0)
@@ -384,7 +389,9 @@ def _stream_any_kernel(
         # No early exit: a pending prefetch must always be consumed, so the
         # streaming any-kernel runs its full trip (the resident variant
         # early-exits instead).
-        def body(j, occ):
+        # f32 occlusion carry for the same Mosaic vector<i1>-yield reason
+        # as the resident any-kernel above.
+        def body(j, occf):
             slot = jax.lax.rem(j, 2)
 
             @pl.when(j + 1 < trip)
@@ -393,12 +400,13 @@ def _stream_any_kernel(
 
             dma(slot, j).wait()
             chunk = scratch[slot]
-            return occ | _visit_chunk(chunk, o, d, tmax, excl)
+            hit = _visit_chunk(chunk, o, d, tmax, excl)
+            return jnp.maximum(occf, hit.astype(jnp.float32))
 
-        occ = jax.lax.fori_loop(
-            0, trip, body, jnp.zeros((1, 128), bool)
+        occf = jax.lax.fori_loop(
+            0, trip, body, jnp.zeros((1, 128), jnp.float32)
         )
-        occ_ref[pl.ds(b, 1), :] = occ
+        occ_ref[pl.ds(b, 1), :] = occf > 0.0
         return acc
 
     jax.lax.fori_loop(0, TILE_ROWS, row_body, 0)

@@ -54,6 +54,7 @@ def render_samples(
     closest_fn: ClosestFn,
     any_fn: AnyFn,
     with_stats: bool = False,
+    remat: bool = False,
 ) -> jax.Array:
     """Mean radiance over samples [sample_start, sample_start+n_samples) for
     each pixel of the tile.  Returns (R, 3) float32.
@@ -65,6 +66,13 @@ def render_samples(
     With ``with_stats=True`` returns ``(img, stats)``, stats = (depth, 2) f32
     useful-query counts summed over samples (see
     :func:`~chiaroscuro_tpu.render.integrator.trace_paths_planar`).
+
+    ``remat=True`` checkpoints the per-sample scan body: reverse-mode then
+    stores only the accumulator carry per sample instead of every bounce's
+    intermediates (O(pixels) instead of O(pixels * spp) HBM), recomputing
+    each sample's forward during the backward pass — the standard TPU
+    FLOPs-for-HBM trade that makes high-spp differentiable renders fit
+    on-chip (e.g. cornell 512x512 @ 500 spp fwd+bwd, BASELINE.md).
     """
     eye = jnp.asarray(eye, jnp.float32)
     background = jnp.asarray(background, jnp.float32)
@@ -99,8 +107,9 @@ def render_samples(
         jnp.zeros((3,) + B, jnp.float32),
         jnp.zeros((depth, 2), jnp.float32),
     )
+    body = jax.checkpoint(one_sample, prevent_cse=False) if remat else one_sample
     (total, stats), _ = jax.lax.scan(
-        one_sample, init, sample_start + jnp.arange(n_samples)
+        body, init, sample_start + jnp.arange(n_samples)
     )
     from chiaroscuro_tpu.geometry import planar as P
 

@@ -63,6 +63,7 @@ class Mesh:
     shininess: float
     texture_diffuse: Optional[str] = None   # resolved path or None
     texture_specular: Optional[str] = None  # resolved path or None
+    texture_bump: Optional[str] = None      # normal map (model.cpp:104-111)
 
     @property
     def is_light(self) -> bool:
@@ -246,6 +247,7 @@ def load_obj(
 
         tex_path = resolve(mtl.map_kd)
         tex_spec = resolve(mtl.map_ks)
+        tex_bump = resolve(mtl.map_bump)
 
         meshes.append(
             Mesh(
@@ -261,6 +263,7 @@ def load_obj(
                 shininess=mtl.shininess,
                 texture_diffuse=tex_path,
                 texture_specular=tex_spec,
+                texture_bump=tex_bump,
             )
         )
     return meshes

@@ -58,6 +58,11 @@ class SceneArrays:
     uv2: jax.Array     # (T, 2)
     tex_id: jax.Array  # (T,) int32 index into texture table, -1 = untextured
     tex_id_ks: jax.Array  # (T,) int32 specular-map index, -1 = none
+    # Normal/height maps: the reference loads them (model.cpp:104-111) and
+    # keeps them GPU-resident but never samples them — neither integrator
+    # nor shaders (SURVEY.md quirk 7).  Parity: decode into the same atlas,
+    # addressable per-triangle, unsampled by the integrator.
+    tex_id_bump: jax.Array  # (T,) int32 normal-map index, -1 = none
     tex_data: jax.Array    # (n_texels, 3) f32 flat texel buffer (differentiable)
     tex_offset: jax.Array  # (n_tex,) int32 start offset into tex_data
     tex_width: jax.Array   # (n_tex,) int32
@@ -101,7 +106,7 @@ jax.tree_util.register_dataclass(
     data_fields=[
         "tri_v0", "tri_v1", "tri_v2", "normal",
         "kd", "ke", "ks", "shininess", "brdf_type",
-        "uv0", "uv1", "uv2", "tex_id", "tex_id_ks",
+        "uv0", "uv1", "uv2", "tex_id", "tex_id_ks", "tex_id_bump",
         "tex_data", "tex_offset", "tex_width", "tex_height",
         "light_ids", "light_areas", "pl_pos", "pl_emit",
         "world_min", "world_max",
@@ -134,7 +139,11 @@ def build_scene_arrays(
     if textures is None:
         textures = {}
         for m in meshes:
-            for p in (m.texture_diffuse, m.texture_specular if enable_specular else None):
+            for p in (
+                m.texture_diffuse,
+                m.texture_specular if enable_specular else None,
+                m.texture_bump,
+            ):
                 if p and p not in textures:
                     textures[p] = load_texture(p)
 
@@ -142,7 +151,7 @@ def build_scene_arrays(
     tex_paths: List[str] = []
     tex_index: Dict[str, int] = {}
     for m in meshes:
-        for p in (m.texture_diffuse, m.texture_specular):
+        for p in (m.texture_diffuse, m.texture_specular, m.texture_bump):
             if p and p in textures and p not in tex_index:
                 tex_index[p] = len(tex_paths)
                 tex_paths.append(p)
@@ -163,7 +172,7 @@ def build_scene_arrays(
 
     v0s, v1s, v2s, nrms, kds, kes, types = [], [], [], [], [], [], []
     kss, nss = [], []
-    uv0s, uv1s, uv2s, tids, tids_ks = [], [], [], [], []
+    uv0s, uv1s, uv2s, tids, tids_ks, tids_bump = [], [], [], [], [], []
     light_ids, light_areas = [], []
     tri_base = 0
     for m in meshes:
@@ -194,6 +203,10 @@ def build_scene_arrays(
             tex_index.get(m.texture_specular, -1) if m.texture_specular else -1
         )
         tids_ks.append(np.full(nt, tid_ks if enable_specular else -1, np.int32))
+        tid_bump = (
+            tex_index.get(m.texture_bump, -1) if m.texture_bump else -1
+        )
+        tids_bump.append(np.full(nt, tid_bump, np.int32))
         if is_light:
             areas = triangle_areas(p[i0], p[i1], p[i2])
             light_ids.extend(range(tri_base, tri_base + nt))
@@ -237,6 +250,7 @@ def build_scene_arrays(
         uv2=put(np.concatenate(uv2s).astype(np.float32)),
         tex_id=put(np.concatenate(tids)),
         tex_id_ks=put(np.concatenate(tids_ks)),
+        tex_id_bump=put(np.concatenate(tids_bump)),
         tex_data=put(np.concatenate(blobs).astype(np.float32)),
         tex_offset=put(np.asarray(offsets, np.int32)),
         tex_width=put(np.asarray(widths, np.int32)),

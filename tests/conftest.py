@@ -23,10 +23,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # contention on the (single, tunneled) TPU chip, and 8 virtual devices for
 # the multi-device mesh tests.  Must happen before any backend initializes;
 # plain JAX_PLATFORMS env is overridden by TPU plugin hooks on some hosts,
-# so use jax.config directly.
+# so use jax.config directly.  RUN_TPU_TESTS=1 opts in to the real chip
+# (tests/test_tpu_compiled.py — asserts Mosaic lowering, not interpreter
+# semantics; everything else still passes but compiles slowly).
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not os.environ.get("RUN_TPU_TESTS"):
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

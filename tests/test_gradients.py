@@ -175,3 +175,43 @@ def test_grads_finite_through_deep_paths(setup):
     grads = jax.grad(loss)({"kd": scene.kd, "ke": scene.ke})
     for k, v in grads.items():
         assert np.isfinite(np.asarray(v)).all(), k
+
+
+def test_remat_gradients_match_non_remat(setup):
+    """`render_samples(remat=True)` (checkpointed sample loop — the memory
+    mode that fits 500-spp backward passes on-chip, see renderer.py) must
+    produce the same loss and gradients as the default."""
+    from chiaroscuro_tpu.render.renderer import render_samples
+
+    scene, cfg = setup
+    cam = CORNELL_CAMERA
+    closest_fn, any_fn = make_intersectors(scene, "brute")
+    ys, xs = np.meshgrid(
+        np.arange(cfg.yres, dtype=np.int32),
+        np.arange(cfg.xres, dtype=np.int32),
+        indexing="ij",
+    )
+    px, py = jnp.asarray(xs.reshape(-1)), jnp.asarray(ys.reshape(-1))
+
+    def make_loss(remat):
+        def loss(params):
+            s = dataclasses.replace(scene, **params)
+            img = render_samples(
+                s, jnp.asarray(cam["eye"], jnp.float32),
+                jnp.asarray(cam["center"], jnp.float32),
+                jnp.asarray(cam["up"], jnp.float32),
+                jnp.float32(cam["yview"]),
+                cfg.xres, cfg.yres, px, py, jnp.int32(0), cfg.samples,
+                jnp.uint32(0), cfg.k, jnp.zeros(3, jnp.float32),
+                closest_fn, any_fn, remat=remat,
+            )
+            return jnp.mean(img)
+        return loss
+
+    params = {"kd": scene.kd, "ke": scene.ke}
+    l0, g0 = jax.value_and_grad(make_loss(False))(params)
+    l1, g1 = jax.value_and_grad(make_loss(True))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for k in params:
+        np.testing.assert_allclose(
+            np.asarray(g0[k]), np.asarray(g1[k]), rtol=1e-5, atol=1e-8)

@@ -97,3 +97,21 @@ def test_scene_arrays_texture_atlas(reference_data_dir):
     for i in range(n_tex - 1):
         assert offs[i + 1] == offs[i] + ws[i] * hs[i]
     assert scene.tex_data.shape[0] == offs[-1] + ws[-1] * hs[-1]
+
+
+def test_bump_maps_decoded_into_atlas(reference_data_dir):
+    """Normal maps (`map_bump`) are resolved, decoded, and addressable per
+    triangle — parity with the reference, which loads them
+    (model.cpp:104-111) but never samples them (SURVEY.md quirk 7)."""
+    meshes = load_obj(os.path.join(reference_data_dir, "nanosuit.obj"))
+    assert any(m.texture_bump for m in meshes)  # *_ddn.png normal maps
+    scene = build_scene_arrays(meshes)
+    tid_bump = np.asarray(scene.tex_id_bump)
+    assert (tid_bump >= 0).any()
+    # Every referenced bump id addresses a real atlas entry distinct from
+    # the same mesh's diffuse map.
+    tid_kd = np.asarray(scene.tex_id)
+    used = tid_bump[tid_bump >= 0]
+    assert used.max() < np.asarray(scene.tex_width).shape[0]
+    both = (tid_bump >= 0) & (tid_kd >= 0)
+    assert (tid_bump[both] != tid_kd[both]).all()
