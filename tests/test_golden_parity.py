@@ -88,3 +88,67 @@ def test_cornell_structure_matches_golden(reference_renders_dir):
         right = img[h // 3 : 2 * h // 3, -w // 12 :].mean(axis=(0, 1))
         assert left[0] > 3 * left[1]
         assert right[1] > 2 * right[0]
+
+
+@pytest.mark.slow
+def test_cornell_variance_aware_parity_1000spp(reference_renders_dir):
+    """Tightened equal-spp parity (VERDICT r1 weak #2): two independent
+    500-spp renders give (a) a 1000-spp combined estimate — the sample
+    count of the shipped cornell config (cornell.rtc:9-19) — and (b) a
+    per-pixel Monte-Carlo sigma estimate from their half-difference, so
+    the tolerance is the estimator's own noise, not a hand tuned band.
+    The light/ceiling band is INCLUDED (AA jitter integrates the sliver's
+    footprint in expectation; its variance shows up in sigma)."""
+    golden = np.nan_to_num(
+        read_exr(f"{reference_renders_dir}/cornell_box.exr"), nan=0.0
+    )
+    gold = golden.reshape(60, 10, 60, 10, 3).mean(axis=(1, 3))
+
+    scene = build_scene_arrays(cornell_box_original())
+    cam = CORNELL_ORIGINAL_CAMERA
+
+    def render(seed):
+        cfg = RenderConfig(
+            xres=60, yres=60, k=6, samples=500, seed=seed,
+            intersector="brute", vp=cam["eye"], la=cam["center"],
+            up=cam["up"], yview=cam["yview"], spp_chunk=100,
+        )
+        return np.asarray(render_image(scene, cfg))
+
+    a, b = render(0), render(7)
+    mean = 0.5 * (a + b)                      # 1000-spp estimate
+    # Var(mean of A,B) = Var(single 500spp)/2; estimate from (A-B):
+    # E[(A-B)^2] = 2 Var(single) => sigma_mean = |A-B|/2.
+    sigma = 0.5 * np.abs(a - b)
+
+    # Whole-image channel means within 5% (was 10%).
+    np.testing.assert_allclose(
+        mean.mean(axis=(0, 1)), gold.mean(axis=(0, 1)), rtol=0.05
+    )
+
+    # Per-pixel z-test with a small calibration slack: |m-g| bounded by
+    # 4 sigma + 3% of signal + 0.01 absolute, over the ENTIRE image.
+    err = np.abs(mean - gold)
+    bound = 4.0 * sigma + 0.03 * gold + 0.01
+    frac_ok = float((err <= bound).mean())
+    assert frac_ok > 0.95, f"only {frac_ok:.3f} of pixels within noise bound"
+
+    # Bulk (below the light band): median relative error tightened
+    # 0.15 -> 0.08 at the higher sample count.
+    rel = (err / (gold + 1e-3))[20:]
+    assert np.median(rel) < 0.08
+
+    # Direct-lighting-only sanity: a k=2 render (primary emission + one
+    # NEE bounce) must be strictly dimmer than the full-depth golden but
+    # carry most of its energy (diffuse cornell: indirect is a modest
+    # fraction) — a wrong NEE weighting breaks one of the two sides.
+    cfg2 = RenderConfig(
+        xres=60, yres=60, k=2, samples=200, seed=3, intersector="brute",
+        vp=cam["eye"], la=cam["center"], up=cam["up"], yview=cam["yview"],
+        spp_chunk=100,
+    )
+    k2 = np.asarray(render_image(scene, cfg2))
+    bulk_k2 = k2[20:].mean()
+    bulk_gold = gold[20:].mean()
+    assert bulk_k2 < bulk_gold
+    assert bulk_k2 > 0.5 * bulk_gold
