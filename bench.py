@@ -256,9 +256,28 @@ def bench_nanosuit(intersector="cluster", xres=1024, yres=1024, spp=1,
     px = jnp.asarray(xs.reshape(-1))
     py = jnp.asarray(ys.reshape(-1))
 
+    # The meshlet decomposition needs *concrete* geometry (host-side build);
+    # prebuild it once and rebuild the intersectors inside the traced loss
+    # with the parameter-substituted scene so kd/ke gradients flow through
+    # the packed attribute matrix.
+    if intersector == "cluster":
+        from chiaroscuro_tpu.accel.clusters import build_clusters
+        from chiaroscuro_tpu.ops.cluster_pallas import make_cluster_intersectors
+
+        ca = build_clusters(
+            np.asarray(scene.tri_v0), np.asarray(scene.tri_v1),
+            np.asarray(scene.tri_v2),
+        )
+
+        def intersectors_of(s):
+            return make_cluster_intersectors(s, clusters=ca, interpret=False)
+    else:
+        def intersectors_of(s):
+            return make_intersectors(s, intersector)
+
     def loss_fn(params, scene):
         s = dataclasses.replace(scene, **params)
-        closest_fn, any_fn = make_intersectors(s, intersector)
+        closest_fn, any_fn = intersectors_of(s)
         img = render_samples(
             s, jnp.asarray(cfg.vp, jnp.float32), jnp.asarray(cfg.la, jnp.float32),
             jnp.asarray(cfg.up, jnp.float32), jnp.float32(cfg.yview),

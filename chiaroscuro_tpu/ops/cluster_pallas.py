@@ -584,9 +584,8 @@ def make_cluster_intersectors(
         ).reshape(K * PACK_W, M)                           # field-major
         return tri_orig, attrT_orig, packed
 
-    def _closest_impl(o3, d3, attr_scene):
+    def _closest_impl(o3, d3, packed):
         B0 = o3.shape[1]
-        _, _, packed = _derive(attr_scene)
         o3p = _pad_planar_rows(o3, TILE_ROWS, 1)
         d3p = _pad_planar_rows(d3, TILE_ROWS, 1)
         meta, ids = _cull_rows(o3p, d3p, bmin, bmax, Le)
@@ -595,22 +594,28 @@ def make_cluster_intersectors(
         )
         return t[:B0], tid[:B0], u[:B0], v[:B0], am[:, :B0]
 
+    # custom_vjp over *derived arrays* (tri_orig / attrT_orig / packed), not
+    # the SceneArrays pytree: carrying the full pytree through the residuals
+    # breaks lowering when the call sits inside a lax.scan under jit(grad)
+    # ("No constant handler for DynamicJaxprTracer"); the dense kernel
+    # (intersect_pallas.py) uses the same explicit-arrays pattern.  The true
+    # gradient path is the recompute from the original-order arrays, so the
+    # packed matrix itself gets a zero cotangent by construction.
     @jax.custom_vjp
-    def closest(o3, d3, attr_scene):
-        return _closest_impl(o3, d3, attr_scene)
+    def closest(o3, d3, tri_orig, attrT_orig, packed):
+        return _closest_impl(o3, d3, packed)
 
-    def _closest_fwd(o3, d3, attr_scene):
-        out = _closest_impl(o3, d3, attr_scene)
+    def _closest_fwd(o3, d3, tri_orig, attrT_orig, packed):
+        out = _closest_impl(o3, d3, packed)
         t, tid, u, v, am = out
-        return out, (o3, d3, attr_scene, tid, t < BIG)
+        return out, (o3, d3, tri_orig, attrT_orig, tid, t < BIG)
 
     def _closest_bwd(res, cts):
-        o3, d3, attr_scene, tid, hitm = res
+        o3, d3, tri_orig, attrT_orig, tid, hitm = res
         ct_t, _ct_tid, ct_u, ct_v, ct_am = cts
         h = hitm.astype(jnp.float32)
 
-        def recompute(o3, d3, attr_scene):
-            tri_orig, attrT_orig, _ = _derive(attr_scene)
+        def recompute(o3, d3, tri_orig, attrT_orig):
             tri = tri_orig.T[:, tid]                       # (9, B0, 128)
             _, t, u, v = _mt_core(
                 (o3[0], o3[1], o3[2]),
@@ -622,13 +627,17 @@ def make_cluster_intersectors(
             am = attrT_orig[:, tid]                        # (ATTR_K, B0, 128)
             return t, u, v, am
 
-        _, vjp = jax.vjp(recompute, o3, d3, attr_scene)
-        return vjp((ct_t * h, ct_u * h, ct_v * h, ct_am * h[None]))
+        _, vjp = jax.vjp(recompute, o3, d3, tri_orig, attrT_orig)
+        g_o3, g_d3, g_tri, g_attr = vjp(
+            (ct_t * h, ct_u * h, ct_v * h, ct_am * h[None])
+        )
+        return g_o3, g_d3, g_tri, g_attr, jnp.zeros((K * PACK_W, M), jnp.float32)
 
     closest.defvjp(_closest_fwd, _closest_bwd)
 
     def closest_planar(o3, d3) -> ClosestHit:
-        t, tid, u, v, am = closest(o3, d3, scene)
+        tri_orig, attrT_orig, packed = _derive(scene)
+        t, tid, u, v, am = closest(o3, d3, tri_orig, attrT_orig, packed)
         return ClosestHit(t < BIG, t, tid, u, v, unpack_attrs_planar(am))
 
     def any_planar(o3, d3, tmax, excl):

@@ -312,6 +312,23 @@ def trace_paths_planar(
         # Miss -> background, terminate (rayTracer.cpp:134).
         radiance = radiance + P.pwhere(active & ~hit, throughput * bg, 0.0)
 
+        # Dead-lane parking (virtual compaction): an origin beyond every
+        # scene box along +x, pointing +x, guarantees the box cull (cluster
+        # path) and AABB tests see misses, so fully-parked 128-lane rows
+        # cost trip=0.  Used for non-hit lanes' NEE shadow rays below and
+        # for terminated lanes' bounce rays at the end of the body; all
+        # radiance/throughput updates are masked on `active`/`hit`, so
+        # intersector outputs for parked lanes are never consumed.
+        wmax = jax.lax.stop_gradient(scene.world_max)
+        wmin = jax.lax.stop_gradient(scene.world_min)
+        park_x = wmax[0] + (wmax[0] - wmin[0]) + 1.0
+        _zero = jnp.zeros(hit.shape, jnp.float32)
+        park_o = jnp.stack(
+            [jnp.broadcast_to(park_x, hit.shape), _zero, _zero]
+        )
+        park_d = jnp.stack([jnp.ones(hit.shape, jnp.float32), _zero, _zero])
+        nee_origin = P.pwhere(hit, point + EPS_OFFSET * normal, park_o)
+
         wo = P.pnormalize(origin - point)
         f_brdf = kd * M_1_PI  # Diffuse::f (brdf.cpp:70)
 
@@ -374,15 +391,14 @@ def trace_paths_planar(
             dist = P.pnorm(to_light)
             wl = P.pnormalize(to_light)
 
+            wl_q = P.pwhere(hit, wl, park_d)
             if any_planar is not None:
-                occluded = any_planar(
-                    point + EPS_OFFSET * normal, wl, dist, ltid
-                )
+                occluded = any_planar(nee_origin, wl_q, dist, ltid)
             else:
                 occluded = r2(
                     any_fn(
-                        P.to_rows(point + EPS_OFFSET * normal),
-                        P.to_rows(wl),
+                        P.to_rows(nee_origin),
+                        P.to_rows(wl_q),
                         dist.reshape(-1),
                         ltid.reshape(-1),
                     )
@@ -406,15 +422,14 @@ def trace_paths_planar(
             pdist = P.pnorm(to_l)
             pwl = P.pnormalize(to_l)
             no_excl = jnp.full(B, -1, jnp.int32)
+            pwl_q = P.pwhere(hit, pwl, park_d)
             if any_planar is not None:
-                pocc = any_planar(
-                    point + EPS_OFFSET * normal, pwl, pdist, no_excl
-                )
+                pocc = any_planar(nee_origin, pwl_q, pdist, no_excl)
             else:
                 pocc = r2(
                     any_fn(
-                        P.to_rows(point + EPS_OFFSET * normal),
-                        P.to_rows(pwl),
+                        P.to_rows(nee_origin),
+                        P.to_rows(pwl_q),
                         pdist.reshape(-1),
                         no_excl.reshape(-1),
                     )
@@ -477,8 +492,16 @@ def trace_paths_planar(
 
         new_active = hit & survive & (k < depth)
         throughput = P.pwhere(new_active, throughput * scale, throughput)
-        origin = P.pwhere(hit, point + EPS_OFFSET * normal, origin)
-        direction = P.pwhere(new_active, wi, direction)
+        # Dead-lane parking (virtual compaction): terminated lanes are moved
+        # beyond every scene box along +x, pointing +x, so the next bounce's
+        # box culls (cluster path) and AABB tests see guaranteed misses —
+        # fully-dead 128-lane rows then cost trip=0 instead of re-tracing
+        # stale rays.  Correctness is unaffected: every radiance/throughput
+        # update is masked on `active`, so intersector outputs for parked
+        # lanes are never consumed.  Measured on nanosuit 1024x1024 depth=3
+        # (occupancy 20%): see docs/ROOFLINE.md.
+        origin = P.pwhere(new_active, point + EPS_OFFSET * normal, park_o)
+        direction = P.pwhere(new_active, wi, park_d)
 
         stats = jnp.stack(
             [

@@ -236,3 +236,53 @@ def test_cluster_gradients_match_bruteforce():
         a, b = np.asarray(g_cluster[k]), np.asarray(g_brute[k])
         assert np.isfinite(a).all(), k
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-6, err_msg=k)
+
+
+def test_cluster_grads_under_jit_scan_match_oracle(cornell_scene):
+    """jit(value_and_grad) of a full render (scan over samples/bounces)
+    through the cluster custom_vjp — regression for the scene-pytree-in-
+    residuals lowering failure ('No constant handler for
+    DynamicJaxprTracer'); grads must equal the brute-oracle path."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from chiaroscuro_tpu.accel import make_intersectors
+    from chiaroscuro_tpu.accel.clusters import build_clusters
+    from chiaroscuro_tpu.render.renderer import render_samples
+    from chiaroscuro_tpu.scene.builtin import CORNELL_CAMERA as cam
+
+    scene = cornell_scene
+    ca = build_clusters(
+        np.asarray(scene.tri_v0), np.asarray(scene.tri_v1),
+        np.asarray(scene.tri_v2))
+    ys, xs = np.meshgrid(np.arange(8, dtype=np.int32),
+                         np.arange(16, dtype=np.int32), indexing="ij")
+    px, py = jnp.asarray(xs.reshape(-1)), jnp.asarray(ys.reshape(-1))
+
+    def make_loss(intersectors_of):
+        def loss(params, scene):
+            s = dataclasses.replace(scene, **params)
+            cf, af = intersectors_of(s)
+            img = render_samples(
+                s, jnp.asarray(cam["eye"], jnp.float32),
+                jnp.asarray(cam["center"], jnp.float32),
+                jnp.asarray(cam["up"], jnp.float32),
+                jnp.float32(cam["yview"]), 16, 8, px, py,
+                jnp.int32(0), 2, jnp.uint32(0), 2,
+                jnp.zeros(3, jnp.float32), cf, af)
+            return jnp.mean(img)
+        return loss
+
+    params = {"kd": scene.kd, "ke": scene.ke}
+    lc, gc = jax.jit(jax.value_and_grad(make_loss(
+        lambda s: make_cluster_intersectors(s, clusters=ca, interpret=True)
+    )))(params, scene)
+    lb, gb = jax.jit(jax.value_and_grad(make_loss(
+        lambda s: make_intersectors(s, "brute")
+    )))(params, scene)
+    np.testing.assert_allclose(float(lc), float(lb), rtol=1e-6)
+    for k in params:
+        np.testing.assert_allclose(
+            np.asarray(gc[k]), np.asarray(gb[k]), rtol=1e-4, atol=1e-7)
