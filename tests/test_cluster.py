@@ -286,3 +286,38 @@ def test_cluster_grads_under_jit_scan_match_oracle(cornell_scene):
     for k in params:
         np.testing.assert_allclose(
             np.asarray(gc[k]), np.asarray(gb[k]), rtol=1e-4, atol=1e-7)
+
+
+def test_cull_kernel_matches_xla_cull(cornell_scene, rng):
+    """The Pallas cull kernel must produce bit-identical (meta, ids) to the
+    XLA reference formulation, with and without tmax."""
+    import jax.numpy as jnp
+
+    from chiaroscuro_tpu.ops.cluster_pallas import (
+        _cull_rows,
+        _cull_rows_kernelized,
+        pack_cull_boxes,
+    )
+
+    scene = cornell_scene
+    ca = build_clusters(
+        np.asarray(scene.tri_v0), np.asarray(scene.tri_v1),
+        np.asarray(scene.tri_v2), M=8)   # small M -> several clusters
+    boxes = jnp.asarray(pack_cull_boxes(ca.bbox_min, ca.bbox_max))
+    bmin, bmax = jnp.asarray(ca.bbox_min), jnp.asarray(ca.bbox_max)
+
+    lo, hi = np.asarray(scene.world_min), np.asarray(scene.world_max)
+    n = 16 * 128
+    o = rng.uniform(lo - 0.3 * (hi - lo), hi + 0.3 * (hi - lo), (n, 3))
+    d = rng.normal(size=(n, 3))
+    o3 = jnp.asarray(o.T.reshape(3, -1, 128), jnp.float32)
+    d3 = jnp.asarray(d.T.reshape(3, -1, 128), jnp.float32)
+    tmax = jnp.asarray(
+        rng.uniform(0.1, 3.0, (n,)).reshape(-1, 128), jnp.float32)
+
+    for tm in (None, tmax):
+        meta_ref, ids_ref = _cull_rows(o3, d3, bmin, bmax, 128, tmax=tm)
+        meta_k, ids_k = _cull_rows_kernelized(
+            o3, d3, boxes, ca.K, 128, interpret=True, tmax=tm)
+        np.testing.assert_array_equal(np.asarray(meta_ref), np.asarray(meta_k))
+        np.testing.assert_array_equal(np.asarray(ids_ref), np.asarray(ids_k))

@@ -120,6 +120,54 @@ def main():
         np.testing.assert_array_equal(np.asarray(ids0), np.asarray(ids1))
     print("dot variants exact vs current")
 
+    # scan-free: one fused (Kp, B0, 128) formulation, no lax.scan
+    Kp1 = -(-K // 8) * 8
+
+    @jax.jit
+    def noscan(o3, d3):
+        inv = make_inv(d3)
+        pad = Kp1 - K
+        bmn = jnp.concatenate([bmin, jnp.full((pad, 3), cp.BIG)]) if pad else bmin
+        bmx = jnp.concatenate([bmax, jnp.full((pad, 3), -cp.BIG)]) if pad else bmax
+        near = far = None
+        for a in range(3):
+            t0 = (bmn[:, a][:, None, None] - o3[a][None]) * inv[a][None]
+            t1 = (bmx[:, a][:, None, None] - o3[a][None]) * inv[a][None]
+            lo, hi = jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+            near = lo if near is None else jnp.maximum(near, lo)
+            far = hi if far is None else jnp.minimum(far, hi)
+        hit = ((far >= near) & (far >= 0.0)).astype(jnp.float32)
+        cnt = jax.lax.dot_general(hit.reshape(-1, 128), ones,
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        rowhit = cnt.reshape(Kp1, -1).T[:, :K] > 0.0
+        count = jnp.sum(rowhit, axis=1).astype(jnp.int32)
+        Le = min(Lmax, K)
+        _, ids = jax.lax.top_k(rowhit.astype(jnp.int32), Le)
+        overflow = count > Le
+        trip = jnp.where(overflow, jnp.int32(K), count)
+        return jnp.stack([trip, overflow.astype(jnp.int32)], axis=1), ids
+
+    (meta2, ids2), _ = timed("dot-reduce scan-free (full K)", noscan, o3, d3)
+    np.testing.assert_array_equal(np.asarray(meta0), np.asarray(meta2))
+    np.testing.assert_array_equal(np.asarray(ids0), np.asarray(ids2))
+    print("scan-free exact vs current")
+
+    # Pallas cull kernel (for the record)
+    from chiaroscuro_tpu.ops.cluster_pallas import (
+        _cull_rows_kernelized, pack_cull_boxes)
+    boxes = jnp.asarray(pack_cull_boxes(ca.bbox_min, ca.bbox_max))
+
+    @jax.jit
+    def kern(o3, d3):
+        return _cull_rows_kernelized(o3, d3, boxes, K, Lmax, False)
+
+    (meta3, ids3), _ = timed("pallas cull kernel + top_k", kern, o3, d3)
+    np.testing.assert_array_equal(np.asarray(meta0), np.asarray(meta3))
+    np.testing.assert_array_equal(np.asarray(ids0), np.asarray(ids3))
+    print("pallas kernel exact vs current")
+
 
 if __name__ == "__main__":
     main()
+
