@@ -81,18 +81,22 @@ def _frame_fn(scene, cam, intersector, xres, yres, spp, depth):
         np.arange(xres, dtype=np.int32),
         indexing="ij",
     )
-    px = jnp.asarray(xs.reshape(-1))
-    py = jnp.asarray(ys.reshape(-1))
-    eye = jnp.asarray(cam["eye"], jnp.float32)
-    center = jnp.asarray(cam["center"], jnp.float32)
-    up = jnp.asarray(cam["up"], jnp.float32)
+    # Host (numpy) closure constants: device-array constants are fetched
+    # back to the host at every lowering, which is pathologically slow over
+    # the TPU tunnel (the BENCH_r02 175 s "compile" regression — see
+    # chiaroscuro_tpu/utils/hostconst.py).
+    px = xs.reshape(-1)
+    py = ys.reshape(-1)
+    eye = np.asarray(cam["eye"], np.float32)
+    center = np.asarray(cam["center"], np.float32)
+    up = np.asarray(cam["up"], np.float32)
 
     @jax.jit
     def frame(scene, sample_start):
         return render_samples(
-            scene, eye, center, up, jnp.float32(cam["yview"]),
-            xres, yres, px, py, sample_start, spp, jnp.uint32(0), depth,
-            jnp.zeros(3, jnp.float32), closest_fn, any_fn, with_stats=True,
+            scene, eye, center, up, float(cam["yview"]),
+            xres, yres, px, py, sample_start, spp, np.uint32(0), depth,
+            np.zeros(3, np.float32), closest_fn, any_fn, with_stats=True,
         )
 
     return frame
@@ -108,8 +112,8 @@ def bench_forward(scene, cam, intersector, xres=512, yres=512, spp=16,
     t0 = time.perf_counter()
     _, stats = frame(scene, jnp.int32(0))
     jax.block_until_ready(stats)
-    log(f"[{tag}/{intersector}] compile+first run: "
-        f"{time.perf_counter() - t0:.2f}s")
+    compile_s = time.perf_counter() - t0
+    log(f"[{tag}/{intersector}] compile+first run: {compile_s:.2f}s")
 
     times = []
     for i in range(iters):
@@ -122,6 +126,7 @@ def bench_forward(scene, cam, intersector, xres=512, yres=512, spp=16,
     issued = float(xres * yres * spp * depth * 2)
     out = {
         "ms": dt * 1e3,
+        "compile_s": compile_s,
         "useful_rays_per_sec": useful / dt,
         "issued_rays_per_sec": issued / dt,
         "occupancy": useful / issued,
@@ -159,19 +164,21 @@ def bench_500spp(scene, cam, intersector, xres=512, yres=512, depth=3,
         np.arange(xres, dtype=np.int32),
         indexing="ij",
     )
-    px = jnp.asarray(xs.reshape(-1))
-    py = jnp.asarray(ys.reshape(-1))
-    eye = jnp.asarray(cam["eye"], jnp.float32)
-    center = jnp.asarray(cam["center"], jnp.float32)
-    up = jnp.asarray(cam["up"], jnp.float32)
+    px = xs.reshape(-1)          # host constants; see _frame_fn
+    py = ys.reshape(-1)
+    eye = np.asarray(cam["eye"], np.float32)
+    center = np.asarray(cam["center"], np.float32)
+    up = np.asarray(cam["up"], np.float32)
     n_chunks = spp // chunk
 
     out = {"spp": spp, "grad_accum_chunk": chunk}
 
     # ---- forward ----
     frame = _frame_fn(scene, cam, intersector, xres, yres, chunk, depth)
+    t0 = time.perf_counter()
     img, _ = frame(scene, jnp.int32(0))
     jax.block_until_ready(img)  # compile
+    out["forward_compile_s"] = time.perf_counter() - t0
     t0 = time.perf_counter()
     acc = None
     for i in range(n_chunks):
@@ -187,17 +194,19 @@ def bench_500spp(scene, cam, intersector, xres=512, yres=512, depth=3,
         s = dataclasses.replace(scene, **params)
         closest_fn, any_fn = make_intersectors(s, intersector)
         img = render_samples(
-            s, eye, center, up, jnp.float32(cam["yview"]),
-            xres, yres, px, py, sample_start, chunk, jnp.uint32(0), depth,
-            jnp.zeros(3, jnp.float32), closest_fn, any_fn, remat=True,
+            s, eye, center, up, float(cam["yview"]),
+            xres, yres, px, py, sample_start, chunk, np.uint32(0), depth,
+            np.zeros(3, np.float32), closest_fn, any_fn, remat=True,
         )
         return jnp.mean(img) / n_chunks
 
     params = {"kd": scene.kd, "ke": scene.ke}
     try:
         grad_fn = jax.jit(jax.value_and_grad(chunk_loss))
+        t0 = time.perf_counter()
         l, g = grad_fn(params, scene, jnp.int32(0))
         jax.block_until_ready(g)  # compile
+        out["fwdbwd_compile_s"] = time.perf_counter() - t0
         t0 = time.perf_counter()
         loss = 0.0
         grads = None
@@ -253,8 +262,8 @@ def bench_nanosuit(intersector="cluster", xres=1024, yres=1024, spp=1,
 
     ys, xs = np.meshgrid(np.arange(yres, dtype=np.int32),
                          np.arange(xres, dtype=np.int32), indexing="ij")
-    px = jnp.asarray(xs.reshape(-1))
-    py = jnp.asarray(ys.reshape(-1))
+    px = xs.reshape(-1)          # host constants; see _frame_fn
+    py = ys.reshape(-1)
 
     # The meshlet decomposition needs *concrete* geometry (host-side build);
     # prebuild it once and rebuild the intersectors inside the traced loss
@@ -279,10 +288,10 @@ def bench_nanosuit(intersector="cluster", xres=1024, yres=1024, spp=1,
         s = dataclasses.replace(scene, **params)
         closest_fn, any_fn = intersectors_of(s)
         img = render_samples(
-            s, jnp.asarray(cfg.vp, jnp.float32), jnp.asarray(cfg.la, jnp.float32),
-            jnp.asarray(cfg.up, jnp.float32), jnp.float32(cfg.yview),
-            xres, yres, px, py, jnp.int32(0), spp, jnp.uint32(0), depth,
-            jnp.zeros(3, jnp.float32), closest_fn, any_fn,
+            s, np.asarray(cfg.vp, np.float32), np.asarray(cfg.la, np.float32),
+            np.asarray(cfg.up, np.float32), float(cfg.yview),
+            xres, yres, px, py, jnp.int32(0), spp, np.uint32(0), depth,
+            np.zeros(3, np.float32), closest_fn, any_fn,
         )
         return jnp.mean(img)
 
@@ -292,8 +301,9 @@ def bench_nanosuit(intersector="cluster", xres=1024, yres=1024, spp=1,
         t0 = time.perf_counter()
         loss, grads = grad_fn(params, scene)
         jax.block_until_ready(grads)
+        fwd["fwdbwd_compile_s"] = time.perf_counter() - t0
         log(f"[nanosuit/{intersector}] fwd+bwd compile+first: "
-            f"{time.perf_counter() - t0:.2f}s")
+            f"{fwd['fwdbwd_compile_s']:.2f}s")
         t0 = time.perf_counter()
         loss, grads = grad_fn(params, scene)
         jax.block_until_ready(grads)

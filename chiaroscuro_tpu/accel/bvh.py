@@ -272,16 +272,19 @@ def build_bvh(
     ov1[len(order):] = 0
     ov2[len(order):] = 0
 
+    # Host (numpy) arrays: jitted callers capture the BVH as closure
+    # constants, and host constants lower without the device->host fetch
+    # that device-array constants pay per trace (utils/hostconst.py).
     return BVHArrays(
-        bbox_min=jnp.asarray(bmin),
-        bbox_max=jnp.asarray(bmax),
-        miss_link=jnp.asarray(miss),
-        leaf_start=jnp.asarray(ls),
-        leaf_count=jnp.asarray(lc),
-        tri_order=jnp.asarray(order_p),
-        tri_v0=jnp.asarray(ov0),
-        tri_e1=jnp.asarray(ov1 - ov0),
-        tri_e2=jnp.asarray(ov2 - ov0),
+        bbox_min=np.asarray(bmin),
+        bbox_max=np.asarray(bmax),
+        miss_link=np.asarray(miss),
+        leaf_start=np.asarray(ls),
+        leaf_count=np.asarray(lc),
+        tri_order=np.asarray(order_p),
+        tri_v0=np.asarray(ov0),
+        tri_e1=np.asarray(ov1 - ov0),
+        tri_e2=np.asarray(ov2 - ov0),
         n_nodes=len(bmin),
         leaf_size=leaf_size,
     )

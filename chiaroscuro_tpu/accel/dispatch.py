@@ -57,22 +57,23 @@ def make_intersectors(
             method = "brute"
 
     if method == "brute":
+        from chiaroscuro_tpu.utils.hostconst import host_const
+
+        # Host constants when concrete (no lowering-time device fetch,
+        # utils/hostconst.py); tracers pass through for the grad path.
+        tv0 = host_const(scene.tri_v0)
+        tv1 = host_const(scene.tri_v1)
+        tv2 = host_const(scene.tri_v2)
+
         def closest_fn(origins, dirs) -> ClosestHit:
             hit, t, tid, u, v = intersect_closest_bruteforce(
-                origins, dirs, scene.tri_v0, scene.tri_v1, scene.tri_v2, chunk
+                origins, dirs, tv0, tv1, tv2, chunk
             )
             return ClosestHit(hit, t, tid, u, v)
 
         def any_fn(origins, dirs, tmax, exclude_id):
             return intersect_any_bruteforce(
-                origins,
-                dirs,
-                scene.tri_v0,
-                scene.tri_v1,
-                scene.tri_v2,
-                tmax,
-                exclude_id,
-                chunk,
+                origins, dirs, tv0, tv1, tv2, tmax, exclude_id, chunk
             )
 
         return closest_fn, any_fn

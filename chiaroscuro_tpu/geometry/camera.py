@@ -15,29 +15,38 @@ are invariant to |dir|, and all shading uses re-normalized vectors.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-
-def _normalize(v):
-    return v / jnp.linalg.norm(v)
+from chiaroscuro_tpu.utils.hostconst import is_traced
 
 
 def camera_basis(eye, center, up, yview, xres: int, yres: int):
     """Returns (left_upper, dx, dy): the world-space upper-left ray direction
-    and the per-pixel step vectors (``rayTracer.cpp:41-49``)."""
-    eye = jnp.asarray(eye, jnp.float32)
-    center = jnp.asarray(center, jnp.float32)
-    up = jnp.asarray(up, jnp.float32)
+    and the per-pixel step vectors (``rayTracer.cpp:41-49``).
 
-    z = jnp.float32(1.0)
-    y = z * 0.5 * jnp.float32(yview)
-    x = y * (jnp.float32(xres) / jnp.float32(yres))
+    Computed in numpy when every input is concrete so jitted callers capture
+    the basis as *host* constants (no lowering-time device fetch — see
+    utils/hostconst.py); fully traced otherwise.
+    """
+    xp = jnp if is_traced(eye, center, up, yview) else np
+
+    def _normalize(v):
+        return v / xp.linalg.norm(v)
+
+    eye = xp.asarray(eye, np.float32)
+    center = xp.asarray(center, np.float32)
+    up = xp.asarray(up, np.float32)
+
+    z = np.float32(1.0)
+    y = z * 0.5 * np.float32(yview) if xp is np else z * 0.5 * yview
+    x = y * (np.float32(xres) / np.float32(yres))
 
     # glm::lookAt basis: f = normalize(center-eye), s = normalize(cross(f, up)),
     # u = cross(s, f).  inverse(mat3(lookAt)) has columns [s, u, -f], so
     # rotate * (vx, vy, vz) = vx*s + vy*u - vz*f.
     f = _normalize(center - eye)
-    s = _normalize(jnp.cross(f, up))
-    u = jnp.cross(s, f)
+    s = _normalize(xp.cross(f, up))
+    u = xp.cross(s, f)
 
     dy = (1.0 / yres) * (-2.0 * y) * u          # rotate * (0, -2y, 0) / yres
     dx = (1.0 / xres) * (2.0 * x) * s           # rotate * (2x, 0, 0) / xres

@@ -23,8 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-FLT_EPS = jnp.float32(np.finfo(np.float32).eps)
-INF = jnp.float32(np.inf)
+FLT_EPS = np.float32(np.finfo(np.float32).eps)
+INF = np.float32(np.inf)
 
 
 class ClosestHit(NamedTuple):

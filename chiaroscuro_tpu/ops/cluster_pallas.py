@@ -666,16 +666,19 @@ def make_cluster_intersectors(
     if stream is None:
         stream = K * M * PACK_W * 4 > RESIDENT_BUDGET_BYTES
 
-    bmin = jnp.asarray(clusters.bbox_min)
-    bmax = jnp.asarray(clusters.bbox_max)
-    oid = jnp.asarray(clusters.orig_id)                    # (K*M,) i32
-    safe_oid = jnp.minimum(oid, T - 1)
-    real = (oid < T)
-    oid_f = jnp.where(real, oid.astype(jnp.float32), ID_SENTINEL)
+    # Host (numpy) constants: captured by jitted callers without a
+    # device->host fetch at lowering time (utils/hostconst.py).
+    bmin = np.asarray(clusters.bbox_min)
+    bmax = np.asarray(clusters.bbox_max)
+    oid = np.asarray(clusters.orig_id)                     # (K*M,) i32
+    safe_oid = np.minimum(oid, T - 1)
+    real = oid < T
+    oid_f = np.where(real, oid.astype(np.float32), ID_SENTINEL)
 
-    def _derive(scene):
-        """In-graph packed buffers (differentiable w.r.t. scene fields)."""
-        tri_orig = jnp.concatenate(
+    def _derive(scene, xp):
+        """Packed buffers; ``xp=jnp`` keeps them in-graph (differentiable
+        w.r.t. scene fields), ``xp=np`` builds host constants once."""
+        tri_orig = xp.concatenate(
             [
                 scene.tri_v0,
                 scene.tri_v1 - scene.tri_v0,
@@ -683,23 +686,37 @@ def make_cluster_intersectors(
             ],
             axis=1,
         )                                                  # (T, 9)
-        attrT_orig = _prep_attrs(scene, 1)                 # (ATTR_K, T)
-        tri_perm = jnp.where(real[:, None], tri_orig[safe_oid], 0.0)
-        attr_perm = jnp.where(
+        attrT_orig = _prep_attrs(scene, 1, xp)             # (ATTR_K, T)
+        tri_perm = xp.where(real[:, None], tri_orig[safe_oid], 0.0)
+        attr_perm = xp.where(
             real[None, :], attrT_orig[:, safe_oid], 0.0
         )                                                  # (ATTR_K, K*M)
-        geo = jnp.concatenate(
+        geo = xp.concatenate(
             [tri_perm, oid_f[:, None]], axis=1             # (K*M, 10)
         ).reshape(K, M, 10).transpose(0, 2, 1)             # (K, 10, M)
-        packed = jnp.concatenate(
+        packed = xp.concatenate(
             [
                 geo,                                       # rows [0:10]
-                jnp.zeros((K, PACK_ATTR0 - 10, M), jnp.float32),
+                xp.zeros((K, PACK_ATTR0 - 10, M), np.float32),
                 attr_perm.reshape(ATTR_K, K, M).transpose(1, 0, 2),
             ],
             axis=1,
         ).reshape(K * PACK_W, M)                           # field-major
-        return tri_orig, attrT_orig, packed
+        return (
+            tri_orig.astype(np.float32),
+            attrT_orig.astype(np.float32),
+            packed.astype(np.float32),
+        )
+
+    from chiaroscuro_tpu.utils.hostconst import host_tree, is_traced
+
+    if is_traced(scene):
+        derive = partial(_derive, xp=jnp)
+    else:
+        _consts = _derive(host_tree(scene), xp=np)
+
+        def derive(_s):
+            return _consts
 
     def _closest_impl(o3, d3, packed):
         B0 = o3.shape[1]
@@ -753,7 +770,7 @@ def make_cluster_intersectors(
     closest.defvjp(_closest_fwd, _closest_bwd)
 
     def closest_planar(o3, d3) -> ClosestHit:
-        tri_orig, attrT_orig, packed = _derive(scene)
+        tri_orig, attrT_orig, packed = derive(scene)
         t, tid, u, v, am = closest(o3, d3, tri_orig, attrT_orig, packed)
         return ClosestHit(t < BIG, t, tid, u, v, unpack_attrs_planar(am))
 
@@ -765,7 +782,7 @@ def make_cluster_intersectors(
         excl = _pad_planar_rows(
             excl.astype(jnp.float32), TILE_ROWS, 0
         )  # ids compared as exact floats in-kernel
-        _, _, packed = _derive(jax.lax.stop_gradient(scene))
+        _, _, packed = derive(jax.lax.stop_gradient(scene))
         meta, ids = _cull_rows(o3, d3, bmin, bmax, Le, tmax=tmax)
         occ = _any_call(
             meta, ids, o3, d3, tmax, excl, packed, M, Le, stream,

@@ -80,17 +80,19 @@ ATTR_K = 32
 _INT_ATTRS = ("btype", "texid", "texid_ks")
 
 
-def _prep_attrs(scene, chunk):
+def _prep_attrs(scene, chunk, xp=jnp):
     """(ATTR_K, T_pad) f32 shading-attribute matrix, one *column* per
     triangle (transposed for the in-kernel (ATTR_K, C) @ (C, 128) fetch).
     Int columns (btype/texid) ride as exact small floats.
 
-    Built with jnp so it stays inside the traced graph: when the scene
-    fields are traced (differentiable rendering), gradients flow from the
-    kernel's attribute output back into kd/ke/vertices via the custom VJP
-    below; with a concrete scene it constant-folds to a device array."""
+    ``xp`` selects the array namespace: ``jnp`` when the scene fields are
+    traced (differentiable rendering — gradients flow from the kernel's
+    attribute output back into kd/ke/vertices via the custom VJP below);
+    ``np`` for a concrete scene, so the result is a *host* constant that
+    lowers into jitted callers without a device fetch (utils/hostconst.py).
+    """
     T = scene.tri_v0.shape[0]
-    cols = jnp.concatenate(
+    cols = xp.concatenate(
         [
             scene.tri_v0,                                   # v0
             scene.tri_v1 - scene.tri_v0,                    # e1
@@ -101,18 +103,24 @@ def _prep_attrs(scene, chunk):
             scene.uv0,
             scene.uv1,
             scene.uv2,
-            scene.brdf_type[:, None].astype(jnp.float32),
-            scene.tex_id[:, None].astype(jnp.float32),
+            scene.brdf_type[:, None].astype(np.float32),
+            scene.tex_id[:, None].astype(np.float32),
             scene.ks,
             scene.shininess[:, None],
-            scene.tex_id_ks[:, None].astype(jnp.float32),
+            scene.tex_id_ks[:, None].astype(np.float32),
         ],
         axis=1,
     )                                                       # (T, 31)
-    A = jnp.zeros((T, ATTR_K), jnp.float32).at[:, : cols.shape[1]].set(cols)
     pad = (-T) % chunk
+    A = xp.concatenate(
+        [
+            cols,
+            xp.zeros((T, ATTR_K - cols.shape[1]), np.float32),
+        ],
+        axis=1,
+    )
     if pad:
-        A = jnp.concatenate([A, jnp.zeros((pad, ATTR_K), jnp.float32)])
+        A = xp.concatenate([A, xp.zeros((pad, ATTR_K), np.float32)])
     return A.T
 
 
@@ -131,17 +139,18 @@ def unpack_attrs_planar(mat):
     return out
 
 
-def _prep_tris(v0, v1, v2, chunk):
-    """Host-side packing: pad T to a chunk multiple, return (T_pad, 9) SoA
-    rows [v0x v0y v0z e1x e1y e1z e2x e2y e2z].  Padding rows are zero =>
-    the determinant is 0 => padded triangles never hit."""
+def _prep_tris(v0, v1, v2, chunk, xp=jnp):
+    """Pad T to a chunk multiple, return (T_pad, 9) SoA rows
+    [v0x v0y v0z e1x e1y e1z e2x e2y e2z].  Padding rows are zero =>
+    the determinant is 0 => padded triangles never hit.  ``xp=np`` builds a
+    host constant for concrete scenes (see :func:`_prep_attrs`)."""
     T = v0.shape[0]
     pad = (-T) % chunk
-    z = jnp.zeros((pad, 3), v0.dtype)
-    v0p = jnp.concatenate([v0, z])
-    e1p = jnp.concatenate([v1 - v0, z])
-    e2p = jnp.concatenate([v2 - v0, z])
-    return jnp.concatenate([v0p, e1p, e2p], axis=1)  # (T_pad, 9)
+    z = xp.zeros((pad, 3), v0.dtype)
+    v0p = xp.concatenate([v0, z])
+    e1p = xp.concatenate([v1 - v0, z])
+    e2p = xp.concatenate([v2 - v0, z])
+    return xp.concatenate([v0p, e1p, e2p], axis=1)  # (T_pad, 9)
 
 
 def _mt_core(o, d, v0, e1, e2):
@@ -448,9 +457,17 @@ def make_pallas_intersectors(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    from chiaroscuro_tpu.utils.hostconst import host_tree, is_traced
+
     chunk = _tri_chunk_for(scene.n_tris)
-    tri_rows = _prep_tris(scene.tri_v0, scene.tri_v1, scene.tri_v2, chunk)
-    attrT = _prep_attrs(scene, chunk)
+    # Concrete scene -> derive *host* constants (no device fetch at every
+    # lowering of a jitted caller, utils/hostconst.py); traced scene (the
+    # differentiable path rebuilds intersectors inside the loss) -> stay
+    # in-graph so gradients flow.
+    src = scene if is_traced(scene) else host_tree(scene)
+    xp = jnp if is_traced(scene) else np
+    tri_rows = _prep_tris(src.tri_v0, src.tri_v1, src.tri_v2, chunk, xp)
+    attrT = _prep_attrs(src, chunk, xp)
 
     def closest_planar(o3, d3) -> ClosestHit:
         B0 = o3.shape[1]

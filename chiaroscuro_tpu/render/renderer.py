@@ -74,8 +74,19 @@ def render_samples(
     FLOPs-for-HBM trade that makes high-spp differentiable renders fit
     on-chip (e.g. cornell 512x512 @ 500 spp fwd+bwd, BASELINE.md).
     """
-    eye = jnp.asarray(eye, jnp.float32)
-    background = jnp.asarray(background, jnp.float32)
+    # Concrete inputs stay in numpy end to end here so jitted callers that
+    # close over them capture *host* constants (device-array constants are
+    # re-fetched to the host at every lowering — pathologically slow over
+    # the TPU tunnel; see utils/hostconst.py).  Traced inputs (the usual
+    # `_render_frame_jit` path passes them as jit arguments) stay traced.
+    from chiaroscuro_tpu.utils.hostconst import is_traced
+
+    cam_xp = jnp if is_traced(eye) else np
+    pix_xp = jnp if is_traced(px, py) else np
+    eye = cam_xp.asarray(eye, jnp.float32)
+    background = (jnp if is_traced(background) else np).asarray(
+        background, jnp.float32
+    )
     left_upper, dx, dy = camera_basis(eye, center, up, yview, xres, yres)
 
     # Planarize the tile once (see geometry/planar.py): every per-sample
@@ -84,13 +95,13 @@ def render_samples(
     R = px.shape[0]
     pad = (-R) % 128
     if pad:
-        px = jnp.concatenate([px, px[:1].repeat(pad, 0)])
-        py = jnp.concatenate([py, py[:1].repeat(pad, 0)])
+        px = pix_xp.concatenate([px, px[:1].repeat(pad, 0)])
+        py = pix_xp.concatenate([py, py[:1].repeat(pad, 0)])
     B = ((R + pad) // 128, 128)
     pixel_idx = (py * xres + px).reshape(B)
     pxf = px.astype(jnp.float32).reshape(B)
     pyf = py.astype(jnp.float32).reshape(B)
-    origins = jnp.broadcast_to(eye[:, None, None], (3,) + B)
+    origins = cam_xp.broadcast_to(eye[:, None, None], (3,) + B)
 
     def one_sample(acc, s):
         acc_img, acc_stats = acc

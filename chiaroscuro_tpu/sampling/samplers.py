@@ -9,9 +9,10 @@ reference's math exactly so that renders agree in distribution.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-M_PI = jnp.float32(jnp.pi)
-M_1_PI = jnp.float32(1.0 / jnp.pi)
+M_PI = np.float32(np.pi)
+M_1_PI = np.float32(1.0 / np.pi)
 
 
 def concentric_sample_disk(u: jnp.ndarray, v: jnp.ndarray):

@@ -114,27 +114,29 @@ def profile_phases(
     from chiaroscuro_tpu.render.renderer import render_samples
     from chiaroscuro_tpu.sampling import prng
 
-    eye = jnp.asarray(eye, jnp.float32)
-    center = jnp.asarray(center, jnp.float32)
-    up = jnp.asarray(up, jnp.float32)
-    yv = jnp.float32(yview)
+    # Host (numpy) closure constants throughout — device-array constants are
+    # re-fetched to the host at every lowering (see utils/hostconst.py).
+    eye = np.asarray(eye, np.float32)
+    center = np.asarray(center, np.float32)
+    up = np.asarray(up, np.float32)
+    yv = float(yview)
 
     ys, xs = np.meshgrid(
         np.arange(yres, dtype=np.int32),
         np.arange(xres, dtype=np.int32),
         indexing="ij",
     )
-    px = jnp.asarray(xs.reshape(-1))
-    py = jnp.asarray(ys.reshape(-1))
+    px = xs.reshape(-1)
+    py = ys.reshape(-1)
     R = px.shape[0]
     pad = (-R) % 128
     if pad:
-        px = jnp.concatenate([px, px[:1].repeat(pad, 0)])
-        py = jnp.concatenate([py, py[:1].repeat(pad, 0)])
+        px = np.concatenate([px, px[:1].repeat(pad, 0)])
+        py = np.concatenate([py, py[:1].repeat(pad, 0)])
     B = ((R + pad) // 128, 128)
     pixel_idx = (py * xres + px).reshape(B)
-    pxf = px.astype(jnp.float32).reshape(B)
-    pyf = py.astype(jnp.float32).reshape(B)
+    pxf = px.astype(np.float32).reshape(B)
+    pyf = py.astype(np.float32).reshape(B)
 
     closest_planar = getattr(closest_fn, "planar_fn", None)
     any_planar = getattr(any_fn, "planar_fn", None)
@@ -143,14 +145,14 @@ def profile_phases(
     def raygen(s):
         lu, dx, dy = camera_basis(eye, center, up, yv, xres, yres)
         def one(acc, smp):
-            k0, k1 = prng.base_key(jnp.uint32(seed), pixel_idx, smp)
+            k0, k1 = prng.base_key(np.uint32(seed), pixel_idx, smp)
             jx, jy = prng.aa_jitter_pair(k0, k1)
             d = primary_ray_dirs_planar(lu, dx, dy, pxf, pyf, jx, jy)
             return acc + d, None
         acc, _ = jax.lax.scan(one, jnp.zeros((3,) + B), jnp.arange(spp))
         return acc
 
-    origins = jnp.broadcast_to(eye[:, None, None], (3,) + B)
+    origins = np.broadcast_to(eye[:, None, None], (3,) + B)
 
     @jax.jit
     def closest_sweep(s):
@@ -187,8 +189,8 @@ def profile_phases(
     def full(s):
         return render_samples(
             s, eye, center, up, yv, xres, yres, px, py,
-            jnp.int32(0), spp, jnp.uint32(seed), depth,
-            jnp.zeros(3, jnp.float32), closest_fn, any_fn,
+            np.int32(0), spp, np.uint32(seed), depth,
+            np.zeros(3, np.float32), closest_fn, any_fn,
         )
 
     def timed(fn):
