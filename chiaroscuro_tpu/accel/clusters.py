@@ -44,6 +44,15 @@ class ClusterArrays:
     ``K`` clusters of exactly ``M`` slots; real triangles occupy a prefix of
     each cluster, padded slots hold degenerate (all-zero) triangles whose
     Moller-Trumbore determinant is 0 — they can never hit.
+
+    ``G`` consecutive clusters form a *supercluster* (the DFS packing makes
+    consecutive clusters spatial neighbors, so the union boxes stay tight);
+    the two-level cull (``ops/cluster_pallas.py``) slab-tests the ``KS``
+    super boxes densely and defers the child-box tests into the visit
+    kernel, so cull cost scales with K/G instead of K — the same role the
+    reference's kd-tree hierarchy plays against a linear sweep
+    (``src/kdtree.cpp:248-281``).  Padded supercluster slots (the last group
+    when ``K % G != 0``) have inverted boxes for their padded children.
     """
 
     K: int
@@ -53,11 +62,15 @@ class ClusterArrays:
     tri_rows: np.ndarray   # (K*M, 9) f32 [v0|e1|e2] in cluster order
     orig_id: np.ndarray    # (K*M,) i32 original triangle id; INT32_MAX pad
     order: np.ndarray      # (T,) i32 cluster-order permutation of 0..T-1
+    G: int = 16            # clusters per supercluster
+    KS: int = 0            # number of superclusters = ceil(K / G)
+    super_min: np.ndarray = None  # (KS, 3) f32 union of child boxes
+    super_max: np.ndarray = None  # (KS, 3) f32
 
 
 def build_clusters(
     v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, M: int = 128,
-    pack: bool = True,
+    pack: bool = True, G: int = 16,
 ) -> ClusterArrays:
     """Median-split the triangle soup into meshlets of <= M triangles.
 
@@ -118,8 +131,20 @@ def build_clusters(
         order_out[pos : pos + n] = ids
         pos += n
 
+    # Supercluster (group-of-G) union boxes over the padded K grid; padded
+    # child slots contribute inverted boxes, so a padded-only group is an
+    # inverted box that can never test as hit in the dense super cull.
+    KS = -(-K // G)
+    cmin = np.full((KS * G, 3), np.float32(np.finfo(np.float32).max))
+    cmax = np.full((KS * G, 3), np.float32(np.finfo(np.float32).min))
+    cmin[:K] = bmin
+    cmax[:K] = bmax
+    super_min = cmin.reshape(KS, G, 3).min(axis=1)
+    super_max = cmax.reshape(KS, G, 3).max(axis=1)
+
     return ClusterArrays(
         K=K, M=M, bbox_min=bmin, bbox_max=bmax,
         tri_rows=tri_rows, orig_id=orig_id,
         order=order_out.astype(np.int32),
+        G=G, KS=KS, super_min=super_min, super_max=super_max,
     )

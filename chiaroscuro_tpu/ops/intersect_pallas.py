@@ -204,7 +204,8 @@ def _tri_cols(tri):
 
 
 def _closest_kernel(
-    o_ref, d_ref, tri_ref, attrT_ref, t_ref, id_ref, u_ref, v_ref, attr_out,
+    live_ref, o_ref, d_ref, tri_ref, attrT_ref,
+    t_ref, id_ref, u_ref, v_ref, attr_out,
     *, chunk,
 ):
     C = chunk
@@ -215,6 +216,14 @@ def _closest_kernel(
     row = jax.lax.broadcasted_iota(jnp.int32, (C, 128), 0)
     ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]       # (TB, 128)
     dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
+
+    # Tile skip: when no row of this tile has a consumed lane (live == 0 for
+    # all TB rows — the integrator's dead parked suffix under compaction),
+    # run zero chunk iterations; outputs keep the init sentinels (t = BIG =>
+    # miss) which callers never consume for dead lanes.
+    tile_live = live_ref[0, 0]
+    for b in range(1, TB):
+        tile_live = jnp.maximum(tile_live, live_ref[b, 0])
 
     def body(j, carry):
         tri = tri_ref[pl.ds(j * C, C), :]           # (C, 9)
@@ -264,20 +273,33 @@ def _closest_kernel(
         )
         for _ in range(TB)
     )
-    carry = jax.lax.fori_loop(0, n_chunks, body, init)
-    for b in range(TB):
-        bt, bi, bu, bv, ba = carry[b]
-        t_ref[b : b + 1, :] = bt
-        id_ref[b : b + 1, :] = bi
-        u_ref[b : b + 1, :] = bu
-        v_ref[b : b + 1, :] = bv
-        attr_out[:, b, :] = ba
+    def _store(carry):
+        for b in range(TB):
+            bt, bi, bu, bv, ba = carry[b]
+            t_ref[b : b + 1, :] = bt
+            id_ref[b : b + 1, :] = bi
+            u_ref[b : b + 1, :] = bu
+            v_ref[b : b + 1, :] = bv
+            attr_out[:, b, :] = ba
+
+    # Static trip count inside pl.when (a dynamic fori trip lowers to an
+    # scf.while Mosaic cannot legalize with these carries).
+    @pl.when(tile_live > 0.0)
+    def _():
+        _store(jax.lax.fori_loop(0, n_chunks, body, init))
+
+    @pl.when(tile_live <= 0.0)
+    def _():
+        _store(init)
 
 
 @partial(jax.jit, static_argnames=("chunk", "interpret"))
-def _closest_call(o3, d3, tri_rows, attrT, chunk, interpret=False):
+def _closest_call(live, o3, d3, tri_rows, attrT, chunk, interpret=False):
     B0 = o3.shape[1]
     grid = (B0 // TILE_B,)
+    live_spec = pl.BlockSpec(
+        (TILE_B, 1), lambda i: (i, 0), memory_space=pltpu.SMEM
+    )
     ray_spec = pl.BlockSpec(
         (3, TILE_B, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
@@ -299,6 +321,7 @@ def _closest_call(o3, d3, tri_rows, attrT, chunk, interpret=False):
         grid=grid,
         out_shape=out_shape,
         in_specs=[
+            live_spec,
             ray_spec,
             ray_spec,
             pl.BlockSpec(
@@ -310,10 +333,11 @@ def _closest_call(o3, d3, tri_rows, attrT, chunk, interpret=False):
         ],
         out_specs=[scal_spec] * 4 + [attr_spec],
         interpret=interpret,
-    )(o3, d3, tri_rows, attrT)
+    )(live, o3, d3, tri_rows, attrT)
 
 
-def _any_kernel(o_ref, d_ref, tmax_ref, excl_ref, tri_ref, occ_ref, *, chunk):
+def _any_kernel(live_ref, o_ref, d_ref, tmax_ref, excl_ref, tri_ref, occ_ref,
+                *, chunk):
     C = chunk
     n_chunks = tri_ref.shape[0] // C
     TB = occ_ref.shape[0]
@@ -321,6 +345,12 @@ def _any_kernel(o_ref, d_ref, tmax_ref, excl_ref, tri_ref, occ_ref, *, chunk):
     row = jax.lax.broadcasted_iota(jnp.int32, (C, 128), 0)
     ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]
     dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
+
+    # Same tile-skip as _closest_kernel: all-dead tiles run zero chunks and
+    # report unoccluded (never consumed).
+    tile_live = live_ref[0, 0]
+    for b in range(1, TB):
+        tile_live = jnp.maximum(tile_live, live_ref[b, 0])
 
     def body(j, occs):
         tri = tri_ref[pl.ds(j * C, C), :]
@@ -339,20 +369,28 @@ def _any_kernel(o_ref, d_ref, tmax_ref, excl_ref, tri_ref, occ_ref, *, chunk):
             out.append(occs[b] | jnp.any(blocking, axis=0, keepdims=True))
         return tuple(out)
 
-    occs = jax.lax.fori_loop(
-        0,
-        n_chunks,
-        body,
-        tuple(jnp.zeros((1, 128), bool) for _ in range(TB)),
-    )
-    for b in range(TB):
-        occ_ref[b : b + 1, :] = occs[b]
+    init = tuple(jnp.zeros((1, 128), bool) for _ in range(TB))
+
+    # Static trip count inside pl.when — see _closest_kernel.
+    @pl.when(tile_live > 0.0)
+    def _():
+        occs = jax.lax.fori_loop(0, n_chunks, body, init)
+        for b in range(TB):
+            occ_ref[b : b + 1, :] = occs[b]
+
+    @pl.when(tile_live <= 0.0)
+    def _():
+        for b in range(TB):
+            occ_ref[b : b + 1, :] = init[b]
 
 
 @partial(jax.jit, static_argnames=("chunk", "interpret"))
-def _any_call(o3, d3, tmax, excl, tri_rows, chunk, interpret=False):
+def _any_call(live, o3, d3, tmax, excl, tri_rows, chunk, interpret=False):
     B0 = o3.shape[1]
     grid = (B0 // TILE_B,)
+    live_spec = pl.BlockSpec(
+        (TILE_B, 1), lambda i: (i, 0), memory_space=pltpu.SMEM
+    )
     ray_spec = pl.BlockSpec(
         (3, TILE_B, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
@@ -364,6 +402,7 @@ def _any_call(o3, d3, tmax, excl, tri_rows, chunk, interpret=False):
         grid=grid,
         out_shape=jax.ShapeDtypeStruct((B0, 128), jnp.bool_),
         in_specs=[
+            live_spec,
             ray_spec,
             ray_spec,
             scal_spec,
@@ -374,7 +413,7 @@ def _any_call(o3, d3, tmax, excl, tri_rows, chunk, interpret=False):
         ],
         out_specs=scal_spec,
         interpret=interpret,
-    )(o3, d3, tmax, excl, tri_rows)
+    )(live, o3, d3, tmax, excl, tri_rows)
 
 
 # ---------------------------------------------------------------------------
@@ -388,19 +427,23 @@ def _any_call(o3, d3, tmax, excl, tri_rows, chunk, interpret=False):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _closest_diff(o3, d3, tri_rows, attrT, chunk, interpret):
-    return _closest_call(o3, d3, tri_rows, attrT, chunk, interpret=interpret)
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _closest_diff(live, o3, d3, tri_rows, attrT, chunk, interpret):
+    return _closest_call(
+        live, o3, d3, tri_rows, attrT, chunk, interpret=interpret
+    )
 
 
-def _closest_diff_fwd(o3, d3, tri_rows, attrT, chunk, interpret):
-    out = _closest_call(o3, d3, tri_rows, attrT, chunk, interpret=interpret)
+def _closest_diff_fwd(live, o3, d3, tri_rows, attrT, chunk, interpret):
+    out = _closest_call(
+        live, o3, d3, tri_rows, attrT, chunk, interpret=interpret
+    )
     t, tid, u, v, am = out
-    return out, (o3, d3, tri_rows, attrT, tid, t < BIG)
+    return out, (live, o3, d3, tri_rows, attrT, tid, t < BIG)
 
 
 def _closest_diff_bwd(chunk, interpret, res, cts):
-    o3, d3, tri_rows, attrT, tid, hit = res
+    live, o3, d3, tri_rows, attrT, tid, hit = res
     ct_t, _ct_tid, ct_u, ct_v, ct_am = cts
     h = hit.astype(jnp.float32)
 
@@ -417,7 +460,10 @@ def _closest_diff_bwd(chunk, interpret, res, cts):
         return t, u, v, am
 
     _, vjp = jax.vjp(recompute, o3, d3, tri_rows, attrT)
-    return vjp((ct_t * h, ct_u * h, ct_v * h, ct_am * h[None]))
+    g_o3, g_d3, g_tri, g_attr = vjp(
+        (ct_t * h, ct_u * h, ct_v * h, ct_am * h[None])
+    )
+    return jnp.zeros_like(live), g_o3, g_d3, g_tri, g_attr
 
 
 _closest_diff.defvjp(_closest_diff_fwd, _closest_diff_bwd)
@@ -469,17 +515,31 @@ def make_pallas_intersectors(
     tri_rows = _prep_tris(src.tri_v0, src.tri_v1, src.tri_v2, chunk, xp)
     attrT = _prep_attrs(src, chunk, xp)
 
-    def closest_planar(o3, d3) -> ClosestHit:
+    def _live_rows(live, B0):
+        """(B0, 1) f32 live flags, padded to the TILE_B grid with zeros
+        (padded rows are replicas whose results are never consumed — but
+        only rows that share a tile with a live row must compute)."""
+        if live is None:
+            return jnp.ones((-(-B0 // TILE_B) * TILE_B, 1), jnp.float32)
+        live = jax.lax.stop_gradient(live).astype(jnp.float32)
+        pad = (-B0) % TILE_B
+        if pad:
+            live = jnp.concatenate(
+                [live, jnp.zeros((pad, 1), jnp.float32)]
+            )
+        return live
+
+    def closest_planar(o3, d3, live=None) -> ClosestHit:
         B0 = o3.shape[1]
         o3p = _pad_planar_rows(o3, TILE_B, 1)
         d3p = _pad_planar_rows(d3, TILE_B, 1)
         t, tid, u, v, am = _closest_diff(
-            o3p, d3p, tri_rows, attrT, chunk, interpret
+            _live_rows(live, B0), o3p, d3p, tri_rows, attrT, chunk, interpret
         )
         t, tid, u, v, am = t[:B0], tid[:B0], u[:B0], v[:B0], am[:, :B0]
         return ClosestHit(t < BIG, t, tid, u, v, unpack_attrs_planar(am))
 
-    def any_planar(o3, d3, tmax, excl):
+    def any_planar(o3, d3, tmax, excl, live=None):
         # Occlusion is a discrete decision (bool): detach its float inputs so
         # autodiff never reaches the pallas_call.  (The brute-force oracle's
         # bool output is equally gradient-free.)
@@ -492,7 +552,8 @@ def make_pallas_intersectors(
         tm = _pad_planar_rows(tmax, TILE_B, 0)
         ex = _pad_planar_rows(excl.astype(jnp.int32), TILE_B, 0)
         occ = _any_call(
-            o3p, d3p, tm, ex, jax.lax.stop_gradient(tri_rows), chunk,
+            _live_rows(live, B0), o3p, d3p, tm, ex,
+            jax.lax.stop_gradient(tri_rows), chunk,
             interpret=interpret,
         )
         return occ[:B0]
@@ -535,4 +596,8 @@ def make_pallas_intersectors(
 
     closest_fn.planar_fn = closest_planar
     any_fn.planar_fn = any_planar
+    # Planar fns accept a `live` (B0, 1) row-consumption hint (integrator
+    # compaction): tiles whose rows are all dead skip their triangle sweep.
+    closest_fn.accepts_live = True
+    any_fn.accepts_live = True
     return closest_fn, any_fn

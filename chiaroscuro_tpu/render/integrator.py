@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from chiaroscuro_tpu.geometry import planar as P
 from chiaroscuro_tpu.geometry.intersect import AnyFn, ClosestFn, ClosestHit  # noqa: F401
@@ -51,7 +52,13 @@ from chiaroscuro_tpu.scene.scene_arrays import (
     SceneArrays,
 )
 
-EPS_OFFSET = jnp.float32(1.0e-3)  # rayTracer.cpp:104,130
+EPS_OFFSET = np.float32(1.0e-3)  # rayTracer.cpp:104,130
+
+# Bounce-compaction segment width in lanes (see trace_paths_planar): live
+# lanes pack to the front of each segment between bounces.  Must be a
+# multiple of 1024 (the dense kernels' 8-row tile) so freed rows align with
+# skippable tiles.  Tuned on v5e/nanosuit (tools/_tpu_compact_bench.py).
+COMPACT_SEG_LANES = 4096
 
 
 def _dot(a, b):
@@ -183,6 +190,7 @@ def trace_paths_planar(
     closest_fn: ClosestFn,
     any_fn: AnyFn,
     with_stats: bool = False,
+    compact: bool = False,
 ) -> jax.Array:
     """Estimate radiance for a planar wavefront. Returns (3, B0, 128).
 
@@ -198,11 +206,47 @@ def trace_paths_planar(
     utilization on the TPU VPU (see geometry/planar.py).  Planar-native
     intersectors (``.planar_fn``) are called with zero relayouts; row-major
     ones get explicit conversions at the call boundary.
+
+    ``compact=True`` enables **bounce-ray compaction** (the wavefront
+    equivalent of the reference's recursion simply returning,
+    ``rayTracer.cpp:124-131``): at each bounce entry, live lanes are
+    stable-sorted to the front of their COMPACT_SEG_LANES-lane segment and
+    dead lanes to its tail, so whole 128-lane rows of dead rays become
+    contiguous and cost trip=0 in the cluster cull / get skipped by the
+    dense kernels' ``live``-row hint.  All per-lane state (keys, throughput,
+    accumulated radiance, the lane -> original-pixel permutation) rides the
+    sort as payloads; radiance is sorted back to pixel order at the end.
+    Every per-lane float op is unchanged, reductions are permutation-safe
+    (exact-integer stats sums, order-free intersection argmins), so radiance
+    is **bitwise identical** to ``compact=False`` — pinned by
+    tests/test_integrator.py.
+
+    Implementation notes (measured on v5e, 1M-lane wavefront):
+    - the state movement must be ONE ``lax.sort`` with the state as
+      payloads (~0.3 ms).  The natural cumsum-rank + scatter + per-array
+      gather formulation costs ~70 ms/bounce in situ — XLA lowers those
+      gathers inside the nested sample/bounce scans to per-element generic
+      gathers;
+    - segment-LOCAL (not global) packing: global packing mixes rays from
+      across the image into each surviving row, and the per-row cluster
+      cull lists blow past Lmax and overflow to full-K sweeps (measured 2x
+      whole-frame regression on nanosuit).
+
+    Net effect is scene-dependent: wins where dead rows free real work
+    (cluster visits, dense-tile skips), costs ~0.3 ms/bounce always.  The
+    renderer enables it only for intersectors that declare
+    ``prefers_compaction`` (the cluster path).
     """
     B = k0.shape
+    R_flat = B[0] * B[1]
 
     def r2(x):  # per-ray scalar -> (B0, 128)
         return x.reshape(B)
+
+    seg = min(COMPACT_SEG_LANES, R_flat)
+    n_seg = R_flat // seg if R_flat % seg == 0 else 1
+    if R_flat % seg != 0:
+        seg = R_flat
 
     n_lights = scene.n_lights
     bg = background[:, None, None]  # (3, 1, 1)
@@ -232,14 +276,46 @@ def trace_paths_planar(
         ).T  # (16, L)
 
     def bounce(state, k):
-        origin, direction, throughput, radiance, active = state
+        origin, direction, throughput, radiance, active, ck0, ck1, perm = state
+
+        if compact:
+            # Stable-sort live lanes to the front of each segment; all
+            # per-lane state rides the sort as payloads (see docstring for
+            # why this must be one lax.sort, not gathers).
+            key = (~active).reshape(n_seg, seg).astype(jnp.int32)
+
+            def s2(x):
+                return x.reshape(n_seg, seg)
+
+            payl = (
+                s2(origin[0]), s2(origin[1]), s2(origin[2]),
+                s2(direction[0]), s2(direction[1]), s2(direction[2]),
+                s2(throughput[0]), s2(throughput[1]), s2(throughput[2]),
+                s2(radiance[0]), s2(radiance[1]), s2(radiance[2]),
+                s2(active), s2(ck0), s2(ck1), s2(perm),
+            )
+            outs = jax.lax.sort((key,) + payl, num_keys=1, is_stable=True)[1:]
+            outs = [o.reshape(B) for o in outs]
+            origin = jnp.stack(outs[0:3])
+            direction = jnp.stack(outs[3:6])
+            throughput = jnp.stack(outs[6:9])
+            radiance = jnp.stack(outs[9:12])
+            active, ck0, ck1, perm = outs[12:16]
 
         # Closest-hit + hit resolution (rayTracer.cpp:148-166).  Planar-native
         # intersectors (Pallas) return everything already in (.., B0, 128)
         # layout with shading attributes pre-fetched in-kernel; row-major
         # intersectors get explicit conversions at the boundary.
+        # Row-liveness hints ((B0, 1) i32: any lane of the row consumed) let
+        # the dense Pallas kernels skip whole tiles of parked rows — with
+        # compaction the dead suffix is contiguous, so most dead tiles skip.
+        live_rows = jnp.any(active, axis=1, keepdims=True).astype(jnp.int32)
+
         if closest_planar is not None:
-            res = closest_planar(origin, direction)
+            if getattr(closest_fn, "accepts_live", False):
+                res = closest_planar(origin, direction, live=live_rows)
+            else:
+                res = closest_planar(origin, direction)
             hit = res.hit & active
             bu, bv = res.u, res.v
             A = res.attrs
@@ -352,7 +428,7 @@ def trace_paths_planar(
             jnp.zeros_like(emitted),
         )
 
-        un = prng.bounce_uniforms_planar(k0, k1, k)  # (N_BOUNCE_DIMS, B0, 128)
+        un = prng.bounce_uniforms_planar(ck0, ck1, k)  # (N_BOUNCE_DIMS, B0, 128)
 
         if n_lights > 0:
             li = jnp.minimum(
@@ -393,7 +469,15 @@ def trace_paths_planar(
 
             wl_q = P.pwhere(hit, wl, park_d)
             if any_planar is not None:
-                occluded = any_planar(nee_origin, wl_q, dist, ltid)
+                if getattr(any_fn, "accepts_live", False):
+                    shadow_live = jnp.any(
+                        hit, axis=1, keepdims=True
+                    ).astype(jnp.int32)
+                    occluded = any_planar(
+                        nee_origin, wl_q, dist, ltid, live=shadow_live
+                    )
+                else:
+                    occluded = any_planar(nee_origin, wl_q, dist, ltid)
             else:
                 occluded = r2(
                     any_fn(
@@ -424,7 +508,15 @@ def trace_paths_planar(
             no_excl = jnp.full(B, -1, jnp.int32)
             pwl_q = P.pwhere(hit, pwl, park_d)
             if any_planar is not None:
-                pocc = any_planar(nee_origin, pwl_q, pdist, no_excl)
+                if getattr(any_fn, "accepts_live", False):
+                    pl_live = jnp.any(
+                        hit, axis=1, keepdims=True
+                    ).astype(jnp.int32)
+                    pocc = any_planar(
+                        nee_origin, pwl_q, pdist, no_excl, live=pl_live
+                    )
+                else:
+                    pocc = any_planar(nee_origin, pwl_q, pdist, no_excl)
             else:
                 pocc = r2(
                     any_fn(
@@ -509,7 +601,10 @@ def trace_paths_planar(
                 jnp.sum(hit, dtype=jnp.float32),
             ]
         )
-        return (origin, direction, throughput, radiance, new_active), stats
+        return (
+            origin, direction, throughput, radiance, new_active, ck0, ck1,
+            perm,
+        ), stats
 
     init = (
         origins,
@@ -517,10 +612,26 @@ def trace_paths_planar(
         jnp.ones((3,) + B, jnp.float32),
         jnp.zeros((3,) + B, jnp.float32),
         jnp.ones(B, bool),
+        k0,
+        k1,
+        jnp.arange(R_flat, dtype=jnp.int32).reshape(B),
     )
-    (_, _, _, radiance, _), stats = jax.lax.scan(
+    (_, _, _, radiance, _, _, _, perm), stats = jax.lax.scan(
         bounce, init, jnp.arange(1, depth + 1)
     )
+    if compact:
+        # Restore original pixel order: segments never exchange lanes, so
+        # the carried original-index `perm` is within-segment; one stable
+        # 2-D sort keyed on it un-permutes the radiance (same fast minor-
+        # axis form as the per-bounce compaction).
+        perm_local = perm.reshape(n_seg, seg) - (
+            jnp.arange(n_seg, dtype=jnp.int32)[:, None] * seg
+        )
+        r2d = radiance.reshape(3, n_seg, seg)
+        outs = jax.lax.sort(
+            (perm_local, r2d[0], r2d[1], r2d[2]), num_keys=1, is_stable=True
+        )
+        radiance = jnp.stack(outs[1:]).reshape((3,) + B)
     if with_stats:
         return radiance, stats
     return radiance

@@ -55,6 +55,7 @@ def render_samples(
     any_fn: AnyFn,
     with_stats: bool = False,
     remat: bool = False,
+    compact: Optional[bool] = None,
 ) -> jax.Array:
     """Mean radiance over samples [sample_start, sample_start+n_samples) for
     each pixel of the tile.  Returns (R, 3) float32.
@@ -103,6 +104,12 @@ def render_samples(
     pyf = py.astype(jnp.float32).reshape(B)
     origins = cam_xp.broadcast_to(eye[:, None, None], (3,) + B)
 
+    # Bounce compaction is a per-intersector preference: it frees real work
+    # only where dead rows cut intersector cost (the cluster path); the
+    # dense paths measured net-neutral-to-negative (integrator docstring).
+    if compact is None:
+        compact = bool(getattr(closest_fn, "prefers_compaction", False))
+
     def one_sample(acc, s):
         acc_img, acc_stats = acc
         k0, k1 = prng.base_key(seed, pixel_idx, s)
@@ -110,7 +117,7 @@ def render_samples(
         dirs = primary_ray_dirs_planar(left_upper, dx, dy, pxf, pyf, jx, jy)
         radiance, stats = trace_paths_planar(
             scene, origins, dirs, k0, k1, depth, background,
-            closest_fn, any_fn, with_stats=True,
+            closest_fn, any_fn, with_stats=True, compact=compact,
         )
         return (acc_img + radiance, acc_stats + stats), None
 

@@ -245,3 +245,43 @@ def test_sample_chunking_invariance(cornell_scene):
         render_image(cornell_scene, _cfg(samples=8, spp_chunk=2, **kw))
     )
     np.testing.assert_allclose(full, chunked, rtol=1e-5, atol=1e-6)
+
+
+def test_compaction_bitwise_identity(cornell_scene):
+    """Bounce-ray compaction (integrator ``compact=True``) must be a pure
+    lane permutation: per-pixel radiance bitwise-identical to the
+    uncompacted wavefront, on both the brute oracle and the Pallas path."""
+    from functools import partial
+
+    import chiaroscuro_tpu.render.integrator as integrator
+    import chiaroscuro_tpu.render.renderer as renderer_mod
+
+    cam = CORNELL_CAMERA
+    ys, xs = np.meshgrid(
+        np.arange(24, dtype=np.int32), np.arange(24, dtype=np.int32),
+        indexing="ij",
+    )
+    px, py = xs.reshape(-1), ys.reshape(-1)
+    orig = integrator.trace_paths_planar
+    try:
+        for method in ("brute", "pallas"):
+            cf, af = make_intersectors(cornell_scene, method)
+            outs = {}
+            for compact in (False, True):
+                renderer_mod.trace_paths_planar = partial(
+                    orig, compact=compact
+                )
+                outs[compact] = np.asarray(
+                    render_samples(
+                        cornell_scene,
+                        np.asarray(cam["eye"], np.float32),
+                        np.asarray(cam["center"], np.float32),
+                        np.asarray(cam["up"], np.float32),
+                        float(cam["yview"]), 24, 24,
+                        px, py, np.int32(0), 4, np.uint32(3), 4,
+                        np.zeros(3, np.float32), cf, af,
+                    )
+                )
+            np.testing.assert_array_equal(outs[False], outs[True]), method
+    finally:
+        renderer_mod.trace_paths_planar = orig
