@@ -95,27 +95,8 @@ TILE_ROWS = 8  # Mosaic block constraint: sublane block dims divisible by 8
 # ---------------------------------------------------------------------------
 
 
-def _cull_rows(o3, d3, bmin, bmax, Lmax, tmax=None):
-    """Per-row cluster culling.
-
-    o3, d3: (3, B0, 128) planar rays; bmin/bmax: (K, 3) boxes.  Returns
-    (meta (B0, 2) i32 [trip, overflow], ids (B0, Le) i32), Le = min(Lmax, K).
-
-    Exact per-lane slab tests, reduced over each row's 128 lanes.  (A
-    conservative interval-arithmetic variant — bounding each row's
-    origins/directions and testing (B0, K) intervals — is 128x cheaper but
-    was measured 3.7x *slower* end-to-end on nanosuit: one divergent lane
-    widens a bounce row's interval to the whole scene, and bounce rows
-    dominate.  Per-lane exactness is what keeps the per-row lists short.)
-    The K axis streams in chunks through a ``lax.scan`` so the (chunk, B0,
-    128) slab temporaries stay cache-sized instead of materializing
-    (K, B0, 128) in HBM.
-    """
-    K = bmin.shape[0]
-    o3 = jax.lax.stop_gradient(o3)
-    d3 = jax.lax.stop_gradient(d3)
-    tmax = None if tmax is None else jax.lax.stop_gradient(tmax)
-
+def _safe_inv(d3):
+    """Per-axis clamped 1/d for the slab test (see HUGE_INV)."""
     inv = []
     for a in range(3):
         d = d3[a]
@@ -124,14 +105,24 @@ def _cull_rows(o3, d3, bmin, bmax, Lmax, tmax=None):
             mag * HUGE_INV >= 1.0, 1.0 / jnp.where(mag > 0, d, 1.0), HUGE_INV
         )
         inv.append(jnp.where(d < 0, -jnp.abs(capped), jnp.abs(capped)))
+    return inv
 
-    CK = 32                                # clusters per scan chunk
+
+def _rowhit_scan(o3, inv, bmin, bmax, tmax=None, CK=32):
+    """(B0, K) bool: does any lane of ray row b hit box k?
+
+    Exact per-lane slab tests, reduced over each row's 128 lanes.  The K
+    axis streams in chunks through a ``lax.scan`` so the (CK, B0, 128) slab
+    temporaries stay cache-sized instead of materializing (K, B0, 128) in
+    HBM.
+    """
+    K = bmin.shape[0]
     Kp = -(-K // CK) * CK
     pad = Kp - K
     # Padding note: inverted boxes (min > max) do NOT test as misses here —
     # lo=min(t0,t1)/hi=max(t0,t1) undoes the inversion, so padded columns
     # test as the infinite box and DO register hits.  They are harmless only
-    # because ``rowhit`` is sliced to [:, :K] below before count/top_k.
+    # because the result is sliced to [:, :K] below.
     bmn = jnp.concatenate([bmin, jnp.full((pad, 3), BIG)]) if pad else bmin
     bmx = jnp.concatenate([bmax, jnp.full((pad, 3), -BIG)]) if pad else bmax
 
@@ -154,7 +145,27 @@ def _cull_rows(o3, d3, bmin, bmax, Lmax, tmax=None):
     _, rh = jax.lax.scan(
         chunk_hit, 0, (bmn.reshape(-1, CK, 3), bmx.reshape(-1, CK, 3))
     )
-    rowhit = rh.reshape(Kp, -1).T[:, :K]                   # (B0, K)
+    return rh.reshape(Kp, -1).T[:, :K]                     # (B0, K)
+
+
+def _cull_rows(o3, d3, bmin, bmax, Lmax, tmax=None):
+    """Per-row cluster culling (flat: linear sweep over all K boxes).
+
+    o3, d3: (3, B0, 128) planar rays; bmin/bmax: (K, 3) boxes.  Returns
+    (meta (B0, 2) i32 [trip, overflow], ids (B0, Le) i32), Le = min(Lmax, K).
+
+    Per-lane exactness note: a conservative interval-arithmetic variant —
+    bounding each row's origins/directions and testing (B0, K) intervals —
+    is 128x cheaper but was measured 3.7x *slower* end-to-end on nanosuit:
+    one divergent lane widens a bounce row's interval to the whole scene,
+    and bounce rows dominate.  Per-lane exactness is what keeps the per-row
+    lists short.
+    """
+    K = bmin.shape[0]
+    o3 = jax.lax.stop_gradient(o3)
+    d3 = jax.lax.stop_gradient(d3)
+    tmax = None if tmax is None else jax.lax.stop_gradient(tmax)
+    rowhit = _rowhit_scan(o3, _safe_inv(d3), bmin, bmax, tmax)
 
     count = jnp.sum(rowhit, axis=1).astype(jnp.int32)      # (B0,)
     Le = min(Lmax, K)
@@ -163,6 +174,98 @@ def _cull_rows(o3, d3, bmin, bmax, Lmax, tmax=None):
     _, ids = jax.lax.top_k(rowhit.astype(jnp.int32), Le)
     ids = ids.astype(jnp.int32)
     overflow = count > Le
+    trip = jnp.where(overflow, jnp.int32(K), count)
+    meta = jnp.stack([trip, overflow.astype(jnp.int32)], axis=1)
+    return meta, ids
+
+
+def _cull_rows_hier(o3, d3, sup_min, sup_max, kid_min, kid_max, K, Lmax,
+                    Lsup, tmax=None):
+    """Two-level per-row cluster culling: supercluster sweep, then children.
+
+    The flat cull's cost is K slab tests per ray row — at sponza scale
+    (K ~ 4,000) the linear sweep becomes the frame, exactly the problem the
+    reference's kd-tree hierarchy exists to avoid (``src/kdtree.cpp:248-281``).
+    Here the dense sweep runs over the ``KS = ceil(K/G)`` supercluster union
+    boxes only; each row then slab-tests just the ``G`` child boxes of the
+    (<= ``Lsup``) superclusters it hit.  Cost per row: ``KS + Lsup*G`` tests
+    instead of ``K`` — at K=4,000, G=16, Lsup=16 that is ~8x less slab work,
+    and it *shrinks* as K grows while hit counts stay occupancy-bound.
+
+    Exactness: a super box is the union of its child boxes (same padding),
+    so the super test can never miss a hit child (monotone min/max slab
+    arithmetic); rows hitting more than ``Lsup`` supers or ``Le`` clusters
+    overflow to the full K sweep, identically to the flat path.  Returns the
+    flat cull's exact (meta, ids) contract — hit cluster ids ascending.
+
+    sup_min/sup_max: (KS, 3); kid_min/kid_max: (KS, G, 3) with padded child
+    slots inverted (they are additionally masked by ``cid < K`` here, so
+    unlike the flat path's padding they can never register).
+    """
+    KS, G, _ = kid_min.shape
+    o3 = jax.lax.stop_gradient(o3)
+    d3 = jax.lax.stop_gradient(d3)
+    tmax = None if tmax is None else jax.lax.stop_gradient(tmax)
+    inv = _safe_inv(d3)
+
+    # Level 1: dense sweep over the KS super boxes.
+    suphit = _rowhit_scan(o3, inv, sup_min, sup_max, tmax)   # (B0, KS)
+    sup_count = jnp.sum(suphit, axis=1).astype(jnp.int32)
+    Lse = min(Lsup, KS)
+    svals, sids = jax.lax.top_k(suphit.astype(jnp.int32), Lse)
+    sup_over = sup_count > Lse
+
+    # Level 2: child boxes of the listed supers only.  One scan step per
+    # list slot s: gather that slot's (B0, G, 3) child boxes and slab-test
+    # them — (G, B0, 128) temporaries, same working-set shape as the flat
+    # sweep's CK-chunks but over Lse*G boxes total instead of K.
+    kid_min_flat = kid_min.reshape(KS, G * 3)
+    kid_max_flat = kid_max.reshape(KS, G * 3)
+    garange = np.arange(G, dtype=np.int32)
+
+    def child_step(_, sv):
+        sid, valid = sv                                    # (B0,) each
+        cmn = jnp.take(kid_min_flat, sid, axis=0).reshape(-1, G, 3)
+        cmx = jnp.take(kid_max_flat, sid, axis=0).reshape(-1, G, 3)
+        near = None
+        far = None
+        for a in range(3):
+            t0 = (cmn[:, :, a].T[:, :, None] - o3[a][None]) * inv[a][None]
+            t1 = (cmx[:, :, a].T[:, :, None] - o3[a][None]) * inv[a][None]
+            lo = jnp.minimum(t0, t1)
+            hi = jnp.maximum(t0, t1)
+            near = lo if near is None else jnp.maximum(near, lo)
+            far = hi if far is None else jnp.minimum(far, hi)
+        hit = (far >= near) & (far >= 0.0)                 # (G, B0, 128)
+        if tmax is not None:
+            hit = hit & (near <= tmax[None])
+        cid = sid[None, :] * G + garange[:, None]          # (G, B0)
+        hitg = jnp.any(hit, axis=2) & valid[None, :] & (cid < K)
+        return _, (hitg, cid)
+
+    _, (hits, cids) = jax.lax.scan(
+        child_step, 0, (sids.T, (svals > 0).T)
+    )                                                      # (Lse, G, B0) x2
+    B0 = o3.shape[1]
+    hits = hits.reshape(Lse * G, B0).T                     # (B0, Lse*G)
+    cids = cids.reshape(Lse * G, B0).T
+
+    count = jnp.sum(hits, axis=1).astype(jnp.int32)
+    Le = min(Lmax, K)
+    # Compact to an ascending id list: hit ids sort below the K sentinel.
+    # (Ids are distinct by construction: top_k supers are distinct, children
+    # within a super are distinct.)
+    key = jnp.where(hits, cids, jnp.int32(K))
+    key = jnp.sort(key, axis=1)
+    if key.shape[1] < Le:
+        key = jnp.concatenate(
+            [key, jnp.full((B0, Le - key.shape[1]), jnp.int32(K))], axis=1
+        )
+    # Sentinel entries sit beyond trip and are never read by the kernel;
+    # clamp them in-range anyway so a bug can't index out of bounds.
+    ids = jnp.minimum(key[:, :Le], jnp.int32(K - 1))
+
+    overflow = sup_over | (count > Le)
     trip = jnp.where(overflow, jnp.int32(K), count)
     meta = jnp.stack([trip, overflow.astype(jnp.int32)], axis=1)
     return meta, ids
@@ -635,6 +738,8 @@ def make_cluster_intersectors(
     interpret: bool | None = None,
     clusters: ClusterArrays | None = None,
     stream: bool | None = None,
+    hier: bool | None = None,
+    Lsup: int = 16,
 ) -> Tuple[ClosestFn, AnyFn]:
     """Cluster-culled Pallas intersectors for large scenes.
 
@@ -646,7 +751,10 @@ def make_cluster_intersectors(
     kd/ke/uv/vertices exactly as in the dense kernel.
 
     ``stream=None`` auto-selects the HBM-streaming kernel when the packed
-    matrix exceeds the VMEM residency budget.
+    matrix exceeds the VMEM residency budget.  ``hier=None`` auto-selects
+    the two-level supercluster cull (:func:`_cull_rows_hier`) for large
+    cluster counts, where the flat K sweep would dominate the frame;
+    ``Lsup`` caps the per-row supercluster list (overflow = full sweep).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -665,11 +773,31 @@ def make_cluster_intersectors(
         raise ValueError("cluster intersector supports < 2^24 triangles")
     if stream is None:
         stream = K * M * PACK_W * 4 > RESIDENT_BUDGET_BYTES
+    if hier is None:
+        # Break-even: the hier path pays KS + Lsup*G tests vs the flat K;
+        # below ~4 supers' worth of clusters it cannot win.
+        hier = clusters.super_min is not None and K >= 4 * clusters.G
 
     # Host (numpy) constants: captured by jitted callers without a
     # device->host fetch at lowering time (utils/hostconst.py).
     bmin = np.asarray(clusters.bbox_min)
     bmax = np.asarray(clusters.bbox_max)
+    if hier:
+        G, KS = clusters.G, clusters.KS
+        kid_min = np.full((KS * G, 3), BIG, np.float32)
+        kid_max = np.full((KS * G, 3), -BIG, np.float32)
+        kid_min[:K] = bmin
+        kid_max[:K] = bmax
+        cull = partial(
+            _cull_rows_hier,
+            sup_min=np.asarray(clusters.super_min, np.float32),
+            sup_max=np.asarray(clusters.super_max, np.float32),
+            kid_min=kid_min.reshape(KS, G, 3),
+            kid_max=kid_max.reshape(KS, G, 3),
+            K=K, Lmax=Le, Lsup=Lsup,
+        )
+    else:
+        cull = partial(_cull_rows, bmin=bmin, bmax=bmax, Lmax=Le)
     oid = np.asarray(clusters.orig_id)                     # (K*M,) i32
     safe_oid = np.minimum(oid, T - 1)
     real = oid < T
@@ -722,7 +850,7 @@ def make_cluster_intersectors(
         B0 = o3.shape[1]
         o3p = _pad_planar_rows(o3, TILE_ROWS, 1)
         d3p = _pad_planar_rows(d3, TILE_ROWS, 1)
-        meta, ids = _cull_rows(o3p, d3p, bmin, bmax, Le)
+        meta, ids = cull(o3p, d3p)
         t, tid, u, v, am = _closest_call(
             meta, ids, o3p, d3p, packed, M, Le, stream, interpret=interpret
         )
@@ -783,7 +911,7 @@ def make_cluster_intersectors(
             excl.astype(jnp.float32), TILE_ROWS, 0
         )  # ids compared as exact floats in-kernel
         _, _, packed = derive(jax.lax.stop_gradient(scene))
-        meta, ids = _cull_rows(o3, d3, bmin, bmax, Le, tmax=tmax)
+        meta, ids = cull(o3, d3, tmax=tmax)
         occ = _any_call(
             meta, ids, o3, d3, tmax, excl, packed, M, Le, stream,
             interpret=interpret,
