@@ -316,6 +316,119 @@ def bench_nanosuit(intersector="cluster", xres=1024, yres=1024, spp=1,
     return fwd
 
 
+def bench_sponza_scale(xres=1280, yres=720, spp=1, depth=3,
+                       target_tris=480_000):
+    """Sponza-scale headline (BASELINE.md metric #1: rays/sec/chip on a
+    sponza-class scene @ 1 spp, 1280x720 — the reference's flagship render
+    ``renders/sponza_crytek.exr``).
+
+    The reference's sponza OBJ was never shipped (SURVEY.md C15), so the
+    scene is the synthetic atrium (scene/synthetic.py) at ~480k tris —
+    sized so the packed cluster matrix exceeds RESIDENT_BUDGET_BYTES and
+    the HBM-streaming kernels + supercluster cull run at their design
+    point (auto-selected, asserted below)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from chiaroscuro_tpu.accel.clusters import build_clusters
+    from chiaroscuro_tpu.ops.cluster_pallas import (
+        PACK_W, RESIDENT_BUDGET_BYTES, make_cluster_intersectors,
+    )
+    from chiaroscuro_tpu.render.renderer import render_samples
+    from chiaroscuro_tpu.scene.scene_arrays import build_scene_arrays
+    from chiaroscuro_tpu.scene.synthetic import ATRIUM_CAMERA, atrium
+
+    scene = build_scene_arrays(atrium(target_tris))
+    ca = build_clusters(
+        np.asarray(scene.tri_v0), np.asarray(scene.tri_v1),
+        np.asarray(scene.tri_v2),
+    )
+    stream = ca.K * ca.M * PACK_W * 4 > RESIDENT_BUDGET_BYTES
+    assert stream, "atrium must exceed the residency budget"
+    log(f"[sponza_scale] {scene.n_tris} tris, K={ca.K} KS={ca.KS}, "
+        f"packed {ca.K * ca.M * PACK_W * 4 / 2**20:.0f} MB (streaming)")
+
+    cam = ATRIUM_CAMERA
+
+    def intersectors_of(s):
+        return make_cluster_intersectors(s, clusters=ca, interpret=False)
+
+    # forward (reuses bench_forward's timing shape via a local frame fn,
+    # since the cluster build must be shared between fwd and bwd)
+    ys, xs = np.meshgrid(np.arange(yres, dtype=np.int32),
+                         np.arange(xres, dtype=np.int32), indexing="ij")
+    px = xs.reshape(-1)          # host constants; see _frame_fn
+    py = ys.reshape(-1)
+    eye = np.asarray(cam["eye"], np.float32)
+    center = np.asarray(cam["center"], np.float32)
+    up = np.asarray(cam["up"], np.float32)
+    closest_fn, any_fn = intersectors_of(scene)
+
+    @jax.jit
+    def frame(scene, sample_start):
+        return render_samples(
+            scene, eye, center, up, float(cam["yview"]),
+            xres, yres, px, py, sample_start, spp, np.uint32(0), depth,
+            np.zeros(3, np.float32), closest_fn, any_fn, with_stats=True,
+        )
+
+    t0 = time.perf_counter()
+    _, stats = frame(scene, jnp.int32(0))
+    jax.block_until_ready(stats)
+    out = {"compile_s": time.perf_counter() - t0, "n_tris": int(scene.n_tris),
+           "K": int(ca.K), "KS": int(ca.KS), "stream": True,
+           "spp": spp, "depth": depth, "res": [xres, yres]}
+    log(f"[sponza_scale/stream+hier] compile+first run: {out['compile_s']:.2f}s")
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        _, stats = frame(scene, jnp.int32((i + 1) * spp))
+        jax.block_until_ready(stats)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    useful = float(stats.sum())
+    issued = float(xres * yres * spp * depth * 2)
+    out.update(ms=dt * 1e3, useful_rays_per_sec=useful / dt,
+               issued_rays_per_sec=issued / dt, occupancy=useful / issued)
+    log(f"[sponza_scale/stream+hier] forward {xres}x{yres} @ {spp}spp "
+        f"depth={depth}: {dt * 1e3:.1f} ms -> {useful / dt / 1e6:.1f} Mray/s "
+        f"useful ({issued / dt / 1e6:.1f} issued, "
+        f"occ {100 * useful / issued:.0f}%)")
+
+    # fwd+bwd w.r.t. material albedo + emission
+    def loss_fn(params, scene):
+        s = dataclasses.replace(scene, **params)
+        cf, af = intersectors_of(s)
+        img = render_samples(
+            s, eye, center, up, float(cam["yview"]),
+            xres, yres, px, py, jnp.int32(0), spp, np.uint32(0), depth,
+            np.zeros(3, np.float32), cf, af,
+        )
+        return jnp.mean(img)
+
+    params = {"kd": scene.kd, "ke": scene.ke}
+    try:
+        grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+        t0 = time.perf_counter()
+        loss, grads = grad_fn(params, scene)
+        jax.block_until_ready(grads)
+        out["fwdbwd_compile_s"] = time.perf_counter() - t0
+        log(f"[sponza_scale] fwd+bwd compile+first: "
+            f"{out['fwdbwd_compile_s']:.2f}s")
+        t0 = time.perf_counter()
+        loss, grads = grad_fn(params, scene)
+        jax.block_until_ready(grads)
+        out["fwdbwd_ms"] = (time.perf_counter() - t0) * 1e3
+        log(f"[sponza_scale] fwd+bwd {xres}x{yres} @ {spp}spp: "
+            f"{out['fwdbwd_ms']:.0f} ms (loss={float(loss):.4f})")
+    except Exception as e:  # diagnostics only
+        log(f"[sponza_scale] fwd+bwd failed: {e}")
+    return out
+
+
 def worker(intersector: str) -> None:
     import jax
 
@@ -338,6 +451,14 @@ def worker(intersector: str) -> None:
             )
         except Exception as e:
             log(f"nanosuit bench failed: {e}")
+
+    if intersector != "brute" and jax.default_backend() == "tpu":
+        # Sponza-scale streaming path (BASELINE.md metric #1); the
+        # interpreted streaming kernel is impractically slow off-TPU.
+        try:
+            extra["sponza_scale"] = bench_sponza_scale()
+        except Exception as e:
+            log(f"sponza_scale bench failed: {e}")
 
     print("EXTRA " + json.dumps(extra))
     print(json.dumps({"useful_rays_per_sec": fwd["useful_rays_per_sec"]}))

@@ -13,8 +13,10 @@ inventory).  Here, the same tile-sharded renderer scales across hosts:
 - ``export_on_process_zero`` implements host-local IO with process-0 export
   (SURVEY.md §5 distributed-communication design).
 
-Single-chip environments exercise this file via the virtual-device tests;
-real multi-host runs only need ``initialize()`` called before first jax use.
+Unit-tested on the virtual 8-device CPU mesh (tests/test_parallel.py
+``test_multihost_*``): the ``initialize()`` single-process no-op, the
+global mesh construction, and process-0-only export.  Real multi-host runs
+additionally need ``initialize()`` called before first jax use.
 """
 
 from __future__ import annotations

@@ -284,6 +284,13 @@ def load_scene(cfg: RenderConfig, **obj_kwargs) -> SceneArrays:
 
         name = cfg.obj_path.split(":", 1)[1]
         meshes = getattr(builtin, name)()
+    elif cfg.obj_path.startswith("synthetic:"):
+        # e.g. "synthetic:atrium" or "synthetic:atrium:480000" (tri target)
+        from chiaroscuro_tpu.scene import synthetic
+
+        parts = cfg.obj_path.split(":")
+        gen = getattr(synthetic, parts[1])
+        meshes = gen(int(parts[2])) if len(parts) > 2 else gen()
     else:
         meshes = load_obj(cfg.obj_path, **obj_kwargs)
     scene = build_scene_arrays(

@@ -191,3 +191,65 @@ def test_scaling_sweep_harness(setup, cpu_devices):
     assert report["efficiency"][0] == 1.0
     text = format_report(report)
     assert "8 device(s)" in text and "shard-invariance (bitwise): OK" in text
+
+
+def test_multihost_initialize_single_process_noop(monkeypatch):
+    """num_processes<=1 must return before touching jax.distributed (the
+    single-host path real launches take on one machine)."""
+    import jax
+
+    from chiaroscuro_tpu.parallel import multihost
+
+    def boom(**kw):
+        raise AssertionError("jax.distributed.initialize must not be called")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    multihost.initialize(num_processes=1)
+    multihost.initialize(num_processes=0)
+    # An "already initialized" RuntimeError is swallowed; others propagate.
+    monkeypatch.setattr(
+        jax.distributed, "initialize",
+        lambda **kw: (_ for _ in ()).throw(
+            RuntimeError("backend already initialized")),
+    )
+    multihost.initialize(num_processes=2, process_id=0,
+                         coordinator_address="localhost:1234")
+    monkeypatch.setattr(
+        jax.distributed, "initialize",
+        lambda **kw: (_ for _ in ()).throw(RuntimeError("connection refused")),
+    )
+    with pytest.raises(RuntimeError, match="connection refused"):
+        multihost.initialize(num_processes=2, process_id=0,
+                             coordinator_address="localhost:1234")
+
+
+def test_multihost_global_tile_mesh(cpu_devices):
+    from chiaroscuro_tpu.parallel import multihost
+
+    mesh = multihost.global_tile_mesh()
+    assert mesh.axis_names == ("tile",)
+    assert mesh.devices.size == len(cpu_devices)
+    assert multihost.global_tile_mesh("px").axis_names == ("px",)
+
+
+def test_multihost_export_on_process_zero(tmp_path, monkeypatch):
+    import jax
+    import numpy as np
+
+    from chiaroscuro_tpu.parallel import multihost
+
+    img = np.full((4, 4, 3), 0.25, np.float32)
+    p0 = tmp_path / "p0.exr"
+    assert multihost.is_process_zero()
+    multihost.export_on_process_zero(str(p0), img)
+    assert p0.exists()
+    from chiaroscuro_tpu.render.image_io import read_exr
+
+    np.testing.assert_allclose(read_exr(str(p0)), img, atol=1e-6)
+
+    # Non-zero processes must write nothing.
+    monkeypatch.setattr(jax, "process_index", lambda: 3)
+    p1 = tmp_path / "p1.exr"
+    assert not multihost.is_process_zero()
+    multihost.export_on_process_zero(str(p1), img)
+    assert not p1.exists()

@@ -1,0 +1,88 @@
+"""Synthetic sponza-scale atrium (scene/synthetic.py).
+
+CPU tier: generator determinism + budget accuracy, and exactness of the
+HBM-streaming + supercluster-cull intersector configuration — the exact
+kernel configuration the full-scale scene engages on TPU — on a small
+atrium in interpreter mode.  The full-scale (~480k tris) on-chip check
+lives in tests/test_tpu_compiled.py / tools/tpu_atrium_check.py.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from chiaroscuro_tpu.geometry.intersect import intersect_closest_bruteforce
+from chiaroscuro_tpu.ops.cluster_pallas import make_cluster_intersectors
+from chiaroscuro_tpu.scene.scene_arrays import build_scene_arrays
+from chiaroscuro_tpu.scene.synthetic import (
+    ATRIUM_CAMERA,
+    atrium,
+    atrium_tri_count,
+)
+
+
+def test_atrium_deterministic_and_on_budget():
+    a = atrium(6000, seed=3)
+    b = atrium(6000, seed=3)
+    assert atrium_tri_count(a) == atrium_tri_count(b)
+    for ma, mb in zip(a, b):
+        np.testing.assert_array_equal(ma.positions, mb.positions)
+        np.testing.assert_array_equal(ma.indices, mb.indices)
+    # Budget accuracy: tessellation solves to within ~20% of the ask.
+    for target in (6_000, 40_000):
+        got = atrium_tri_count(atrium(target))
+        assert abs(got - target) / target < 0.2, (target, got)
+    # Scene arrays: emissive panels classify as area lights (24 tris).
+    scene = build_scene_arrays(a, device_put=False)
+    assert scene.n_lights == 24
+    assert scene.n_tris == atrium_tri_count(a)
+
+
+def test_atrium_streaming_hier_matches_oracle(rng):
+    """The full-scale atrium engages stream=True + hier=True on TPU; pin
+    that exact kernel configuration against the brute oracle here (small
+    scene, interpreter mode)."""
+    scene = build_scene_arrays(atrium(2_200, seed=5), device_put=False)
+    cf, af = make_cluster_intersectors(
+        scene, M=32, interpret=True, stream=True, hier=True,
+    )
+    lo, hi = np.asarray(scene.world_min), np.asarray(scene.world_max)
+    o = jnp.asarray(rng.uniform(lo, hi, (128, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(128, 3)), jnp.float32)
+    ch = cf(o, d)
+    oh, ot, otid, _, _ = intersect_closest_bruteforce(
+        o, d, scene.tri_v0, scene.tri_v1, scene.tri_v2
+    )
+    np.testing.assert_array_equal(np.asarray(ch.hit), np.asarray(oh))
+    hit = np.asarray(oh)
+    np.testing.assert_allclose(
+        np.asarray(ch.t)[hit], np.asarray(ot)[hit], rtol=1e-5, atol=1e-5
+    )
+    # any-hit through the same streaming+hier path.
+    occ = af(o, d, jnp.where(ch.hit, ch.t * 1.5, 1e9),
+             jnp.full((128,), -1, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(occ), hit)
+
+
+def test_atrium_renders_lit_image():
+    """End-to-end: NEE from the ceiling panels lights the hall."""
+    from chiaroscuro_tpu.accel.dispatch import make_intersectors
+    from chiaroscuro_tpu.render.renderer import render_samples
+
+    scene = build_scene_arrays(atrium(2_200, seed=5))
+    cam = ATRIUM_CAMERA
+    xres = yres = 16
+    ys, xs = np.meshgrid(np.arange(yres, dtype=np.int32),
+                         np.arange(xres, dtype=np.int32), indexing="ij")
+    closest_fn, any_fn = make_intersectors(scene, "brute")
+    img = render_samples(
+        scene,
+        np.asarray(cam["eye"], np.float32),
+        np.asarray(cam["center"], np.float32),
+        np.asarray(cam["up"], np.float32), float(cam["yview"]),
+        xres, yres, xs.reshape(-1), ys.reshape(-1),
+        jnp.int32(0), 2, np.uint32(0), 2,
+        np.zeros(3, np.float32), closest_fn, any_fn,
+    )
+    img = np.asarray(img).reshape(yres, xres, 3)
+    assert np.isfinite(img).all()
+    assert img.mean() > 1e-3  # lit, not black

@@ -60,3 +60,12 @@ def test_cluster_kernels_compiled_match_oracle_nanosuit(tpu):
     from tools.tpu_cluster_check import main
 
     main()  # raises on any oracle mismatch or compile failure
+
+
+def test_streaming_kernels_at_design_point_atrium(tpu):
+    """HBM-streaming + supercluster cull at their design point: the
+    synthetic sponza-scale atrium (~480k tris, packed matrix above the
+    VMEM residency budget, so stream=True auto-engages)."""
+    from tools.tpu_atrium_check import main
+
+    main()  # raises on any oracle mismatch or compile failure
