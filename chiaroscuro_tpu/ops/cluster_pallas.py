@@ -774,9 +774,16 @@ def make_cluster_intersectors(
     if stream is None:
         stream = K * M * PACK_W * 4 > RESIDENT_BUDGET_BYTES
     if hier is None:
-        # Break-even: the hier path pays KS + Lsup*G tests vs the flat K;
-        # below ~4 supers' worth of clusters it cannot win.
-        hier = clusters.super_min is not None and K >= 4 * clusters.G
+        # Break-even: the hier path pays KS + min(Lsup, KS)*G slab tests per
+        # row (level 2 runs its Lse scan steps unconditionally) vs the flat
+        # path's K, so it only wins when K comfortably exceeds Lsup*G
+        # (advisor round-3 finding: the old K >= 4*G gate put nanosuit-class
+        # scenes, K ~ 150, on the strictly-slower path).
+        hier = clusters.super_min is not None and K > 2 * Lsup * clusters.G
+    if hier and clusters.super_min is None:
+        raise ValueError(
+            "clusters lack supercluster boxes; rebuild with build_clusters"
+        )
 
     # Host (numpy) constants: captured by jitted callers without a
     # device->host fetch at lowering time (utils/hostconst.py).

@@ -289,7 +289,13 @@ def load_scene(cfg: RenderConfig, **obj_kwargs) -> SceneArrays:
         from chiaroscuro_tpu.scene import synthetic
 
         parts = cfg.obj_path.split(":")
-        gen = getattr(synthetic, parts[1])
+        generators = {"atrium": synthetic.atrium}
+        if parts[1] not in generators:
+            raise ValueError(
+                f"unknown synthetic generator {parts[1]!r}; "
+                f"available: {sorted(generators)}"
+            )
+        gen = generators[parts[1]]
         meshes = gen(int(parts[2])) if len(parts) > 2 else gen()
     else:
         meshes = load_obj(cfg.obj_path, **obj_kwargs)

@@ -114,13 +114,16 @@ def _box_meshes(name, center, size, yaw, kd) -> List[Mesh]:
         return (cx + c * x - s * z, cy + y, cz + s * x + c * z)
 
     hx, hy, hz = sx / 2, sy / 2, sz / 2
+    # du/dv ordered so cross(du, dv) faces OUT of the box (the integrator
+    # shades with stored normals raw; an inward normal kills NEE's
+    # max(0, dot(n, wl)) term and offsets shadow origins inside the box).
     faces = [
-        ((-hx, -hy, -hz), (sx, 0, 0), (0, sy, 0)),   # front  (-z)
-        ((hx, -hy, hz), (-sx, 0, 0), (0, sy, 0)),    # back   (+z)
-        ((-hx, -hy, hz), (0, 0, -sz), (0, sy, 0)),   # left   (-x)
-        ((hx, -hy, -hz), (0, 0, sz), (0, sy, 0)),    # right  (+x)
-        ((-hx, hy, -hz), (sx, 0, 0), (0, 0, sz)),    # top    (+y)
-        ((-hx, -hy, hz), (sx, 0, 0), (0, 0, -sz)),   # bottom (-y)
+        ((-hx, -hy, -hz), (0, sy, 0), (sx, 0, 0)),   # front  (-z)
+        ((hx, -hy, hz), (0, sy, 0), (-sx, 0, 0)),    # back   (+z)
+        ((-hx, -hy, hz), (0, sy, 0), (0, 0, -sz)),   # left   (-x)
+        ((hx, -hy, -hz), (0, sy, 0), (0, 0, sz)),    # right  (+x)
+        ((-hx, hy, -hz), (0, 0, sz), (sx, 0, 0)),    # top    (+y)
+        ((-hx, -hy, hz), (0, 0, -sz), (sx, 0, 0)),   # bottom (-y)
     ]
     out = []
     for fi, (origin, du, dv) in enumerate(faces):
@@ -198,18 +201,21 @@ def atrium(target_tris: int = 480_000, seed: int = 0) -> List[Mesh]:
     def n_of(extent):
         return max(1, int(round(extent / pitch)))
 
+    # du/dv ordered so cross(du, dv) faces the hall INTERIOR (floor up,
+    # ceiling down, walls inward) — shading normals are used raw by the
+    # integrator, so an outward normal makes the surface receive no light.
     surfs = [
-        ("floor:stone", (0, 0, 0), (HALL_L, 0, 0), (0, 0, HALL_W),
+        ("floor:stone", (0, 0, 0), (0, 0, HALL_W), (HALL_L, 0, 0),
          (0.55, 0.52, 0.48)),
-        ("ceiling:stone", (0, HALL_H, 0), (0, 0, HALL_W), (HALL_L, 0, 0),
+        ("ceiling:stone", (0, HALL_H, 0), (HALL_L, 0, 0), (0, 0, HALL_W),
          (0.62, 0.60, 0.58)),
-        ("wall_z0:brick", (0, 0, 0), (0, HALL_H, 0), (HALL_L, 0, 0),
+        ("wall_z0:brick", (0, 0, 0), (HALL_L, 0, 0), (0, HALL_H, 0),
          (0.58, 0.40, 0.30)),
-        ("wall_z1:brick", (0, 0, HALL_W), (HALL_L, 0, 0), (0, HALL_H, 0),
+        ("wall_z1:brick", (0, 0, HALL_W), (0, HALL_H, 0), (HALL_L, 0, 0),
          (0.58, 0.40, 0.30)),
-        ("wall_x0:plaster", (0, 0, 0), (0, 0, HALL_W), (0, HALL_H, 0),
+        ("wall_x0:plaster", (0, 0, 0), (0, HALL_H, 0), (0, 0, HALL_W),
          (0.70, 0.66, 0.58)),
-        ("wall_x1:plaster", (HALL_L, 0, 0), (0, HALL_H, 0), (0, 0, HALL_W),
+        ("wall_x1:plaster", (HALL_L, 0, 0), (0, 0, HALL_W), (0, HALL_H, 0),
          (0.70, 0.66, 0.58)),
     ]
     for name, origin, du, dv, kd in surfs:

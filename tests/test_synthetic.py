@@ -86,3 +86,34 @@ def test_atrium_renders_lit_image():
     img = np.asarray(img).reshape(yres, xres, 3)
     assert np.isfinite(img).all()
     assert img.mean() > 1e-3  # lit, not black
+    # Interior-facing normals: most of the frame (floor/walls/columns, not
+    # just the directly visible emissive panels) must receive light — with
+    # normals inverted the median pixel is 0 (advisor round-3 finding).
+    assert np.median(img.max(axis=-1)) > 1e-3
+    # The floor specifically receives NEE light: bottom rows of the frame.
+    assert img[-4:].mean() > 1e-3
+
+
+def test_atrium_normals_face_interior():
+    """Every hall-surface normal points into the hall; every crate face
+    normal points away from its crate center."""
+    from chiaroscuro_tpu.scene.synthetic import HALL_H, HALL_L, HALL_W
+
+    meshes = atrium(2_200, seed=5)
+    hall_c = np.array([HALL_L / 2, HALL_H / 2, HALL_W / 2], np.float32)
+    for m in meshes:
+        base = m.name.split(":")[0]
+        if base in ("floor", "ceiling") or base.startswith("wall"):
+            to_c = hall_c[None] - m.positions
+            assert (np.sum(m.normals * to_c, axis=1) > 0).all(), m.name
+    # Crate faces: outward normals (face centroid offset from the crate
+    # center projects positively onto the face normal).
+    crate_faces = {}
+    for m in meshes:
+        if m.name.startswith("crate"):
+            crate_faces.setdefault(m.name.split(":")[0], []).append(m)
+    for faces in crate_faces.values():
+        center = np.concatenate([f.positions for f in faces]).mean(axis=0)
+        for f in faces:
+            out = f.positions.mean(axis=0) - center
+            assert np.dot(f.normals[0], out) > 0, f.name

@@ -37,9 +37,11 @@ def main(target_tris: int = 480_000, n_rays: int = 2048):
     assert packed_bytes > RESIDENT_BUDGET_BYTES, (
         "scene too small: streaming must auto-engage for this check")
 
-    # Auto-selection must pick stream + hier at this scale.
+    # Pin the design-point configuration explicitly: stream + hier (auto
+    # selects the same at this scale, but a heuristic regression must fail
+    # loudly here, not silently test the flat cull).
     closest_fn, any_fn = make_cluster_intersectors(
-        scene, clusters=ca, interpret=False)
+        scene, clusters=ca, interpret=False, stream=True, hier=True)
 
     rng = np.random.default_rng(11)
     lo, hi = np.asarray(scene.world_min), np.asarray(scene.world_max)
