@@ -394,8 +394,8 @@ def bench_sponza_scale(xres=1280, yres=720, spp=1, depth=3,
     out.update(ms=dt * 1e3, useful_rays_per_sec=useful / dt,
                issued_rays_per_sec=issued / dt, occupancy=useful / issued)
     log(f"[sponza_scale/stream+hier] forward {xres}x{yres} @ {spp}spp "
-        f"depth={depth}: {dt * 1e3:.1f} ms -> {useful / dt / 1e6:.1f} Mray/s "
-        f"useful ({issued / dt / 1e6:.1f} issued, "
+        f"depth={depth}: {dt * 1e3:.1f} ms -> {useful / dt / 1e6:.3g} Mray/s "
+        f"useful ({issued / dt / 1e6:.3g} issued, "
         f"occ {100 * useful / issued:.0f}%)")
 
     # fwd+bwd w.r.t. material albedo + emission
@@ -551,6 +551,8 @@ def main():
     extra["baseline_useful_rays_per_sec"] = baseline
     extra["baseline_source"] = baseline_source
 
+    _flag_history_regressions(extra)
+
     value = result["useful_rays_per_sec"] if result else 0.0
     print(json.dumps({
         "metric": "cornell_512x512_useful_rays_per_sec",
@@ -559,6 +561,56 @@ def main():
         "vs_baseline": value / baseline,
         "extra": extra,
     }))
+
+
+def _flag_history_regressions(extra, threshold=1.3):
+    """Diff this run's headline timings against the newest BENCH_r*.json and
+    flag >threshold-x slowdowns loudly (VERDICT r3: two ~2x fwd+bwd
+    regressions and a 10x compile regression shipped unremarked because
+    nothing compared bench history).  Findings land in
+    ``extra["regressions_vs_prev"]`` so they ride into BENCH_rN.json."""
+    import glob
+    import re
+
+    runs = sorted(
+        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if not runs:
+        return
+    try:
+        with open(runs[-1]) as f:
+            prev = json.load(f).get("parsed", {}).get("extra", {})
+    except (ValueError, OSError) as e:
+        log(f"bench-history check skipped ({e})")
+        return
+
+    watch = [  # (config key, metric key, lower-is-better)
+        ("cornell_16spp", "ms"), ("cornell_16spp", "compile_s"),
+        ("cornell_500spp", "forward_ms"), ("cornell_500spp", "fwdbwd_ms"),
+        ("nanosuit_cluster", "ms"), ("nanosuit_cluster", "fwdbwd_ms"),
+        ("nanosuit_cluster", "compile_s"),
+        ("sponza_scale", "ms"), ("sponza_scale", "fwdbwd_ms"),
+        ("sponza_scale", "compile_s"),
+    ]
+    found = []
+    for cfg_key, m in watch:
+        old = (prev.get(cfg_key) or {}).get(m)
+        new = (extra.get(cfg_key) or {}).get(m)
+        if old and new and new > threshold * old:
+            found.append({
+                "config": cfg_key, "metric": m,
+                "prev": old, "now": new, "ratio": new / old,
+                "prev_file": os.path.basename(runs[-1]),
+            })
+            log(f"REGRESSION vs {os.path.basename(runs[-1])}: "
+                f"{cfg_key}.{m} {old:.1f} -> {new:.1f} "
+                f"({new / old:.2f}x slower)")
+    extra["regressions_vs_prev"] = found
+    if not found:
+        log(f"bench-history check vs {os.path.basename(runs[-1])}: "
+            f"no >{threshold}x slowdowns")
 
 
 if __name__ == "__main__":

@@ -25,8 +25,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     from chiaroscuro_tpu.render.renderer import Renderer
     from chiaroscuro_tpu.scene.scene_arrays import load_scene
 
-    # Point-light banner parity (kdtree.cpp:99-104); like the reference,
-    # point lights are preview-only and never used by the path integrator.
+    # Point-light banner parity (kdtree.cpp:99-104).  Unlike the reference
+    # (where point lights are preview-only), the integrator shades them when
+    # cfg.use_point_lights is on (render/integrator.py point-light loop) —
+    # a documented extension.
     if cfg.light_points:
         print("Point Lights in scene:")
         for lp in cfg.light_points:

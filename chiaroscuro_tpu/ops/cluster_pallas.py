@@ -271,123 +271,6 @@ def _cull_rows_hier(o3, d3, sup_min, sup_max, kid_min, kid_max, K, Lmax,
     return meta, ids
 
 
-def _cull_kernel(boxes_ref, o_ref, d_ref, tmax_ref, rowhit_ref, *, KG,
-                 with_tmax):
-    """Pallas cull: same per-lane slab tests as :func:`_cull_rows`, fused
-    in VMEM/registers.
-
-    **Measured-slower alternative, kept for the record (not wired in).**
-    On v5e/nanosuit this kernel is exact vs the XLA path but 2x slower
-    (52 vs 26 ms per 1M rays): the per-cluster fori_loop serializes on
-    scalar SMEM box loads + a cross-lane reduce per iteration, while the
-    XLA formulation keeps the VPU saturated.  That result also proves the
-    cull is VPU/pipeline-bound, NOT HBM-bound (this kernel has near-zero
-    HBM traffic and still loses) — see docs/ROOFLINE.md "cull" section.
-    boxes_ref is SMEM (KG*128, 8) rows [bmin xyz | bmax xyz | pad pad];
-    rowhit_ref is (TILE_ROWS, KG*128) f32 where lane g*128+j = 1.0 iff any
-    ray lane of the row hits box j of group g (padded boxes register hits
-    exactly like the XLA path; callers slice [:, :K])."""
-    inv = []
-    for a in range(3):
-        d = d_ref[a]
-        mag = jnp.abs(d)
-        capped = jnp.where(
-            mag * HUGE_INV >= 1.0, 1.0 / jnp.where(mag != 0.0, d, 1.0),
-            HUGE_INV,
-        )
-        inv.append(jnp.where(d < 0, -jnp.abs(capped), jnp.abs(capped)))
-    o = [o_ref[a] for a in range(3)]
-    tmax = tmax_ref[...] if with_tmax else None
-    lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 128), 1)
-
-    for g in range(KG):
-        def body(j, acc, g=g):
-            cid = g * 128 + j
-            near = None
-            far = None
-            for a in range(3):
-                t0 = (boxes_ref[cid, a] - o[a]) * inv[a]
-                t1 = (boxes_ref[cid, 3 + a] - o[a]) * inv[a]
-                lo = jnp.minimum(t0, t1)
-                hi = jnp.maximum(t0, t1)
-                near = lo if near is None else jnp.maximum(near, lo)
-                far = hi if far is None else jnp.minimum(far, hi)
-            hit = (far >= near) & (far >= 0.0)
-            if with_tmax:
-                hit = hit & (near <= tmax)
-            anyrow = jnp.max(hit.astype(jnp.float32), axis=1, keepdims=True)
-            return acc + anyrow * (lane == j).astype(jnp.float32)
-
-        acc = jax.lax.fori_loop(
-            0, 128, body, jnp.zeros((TILE_ROWS, 128), jnp.float32)
-        )
-        rowhit_ref[:, g * 128:(g + 1) * 128] = acc
-
-
-@partial(jax.jit, static_argnames=("K", "interpret", "with_tmax"))
-def _cull_rowhit_call(o3, d3, tmax, boxes, K, interpret, with_tmax):
-    B0 = o3.shape[1]
-    KG = boxes.shape[0] // 128
-    ray = pl.BlockSpec(
-        (3, TILE_ROWS, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-    )
-    row = pl.BlockSpec(
-        (TILE_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
-    return pl.pallas_call(
-        partial(_cull_kernel, KG=KG, with_tmax=with_tmax),
-        grid=(B0 // TILE_ROWS,),
-        out_shape=jax.ShapeDtypeStruct((B0, KG * 128), jnp.float32),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            ray, ray, row,
-        ],
-        out_specs=pl.BlockSpec(
-            (TILE_ROWS, KG * 128), lambda i: (i, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        interpret=interpret,
-    )(boxes, o3, d3, tmax)
-
-
-def _cull_rows_kernelized(o3, d3, boxes, K, Lmax, interpret, tmax=None):
-    """Drop-in for :func:`_cull_rows` backed by the Pallas cull kernel.
-    Identical (meta, ids) including top_k tie-breaks."""
-    o3 = jax.lax.stop_gradient(o3)
-    d3 = jax.lax.stop_gradient(d3)
-    if tmax is None:
-        dummy = jnp.zeros(o3.shape[1:], jnp.float32)
-        rowhit = _cull_rowhit_call(
-            o3, d3, dummy, boxes, K=K, interpret=interpret, with_tmax=False
-        )
-    else:
-        rowhit = _cull_rowhit_call(
-            o3, d3, jax.lax.stop_gradient(tmax), boxes, K=K,
-            interpret=interpret, with_tmax=True,
-        )
-    rowhit = rowhit[:, :K] > 0.0
-    count = jnp.sum(rowhit, axis=1).astype(jnp.int32)
-    Le = min(Lmax, K)
-    _, ids = jax.lax.top_k(rowhit.astype(jnp.int32), Le)
-    overflow = count > Le
-    trip = jnp.where(overflow, jnp.int32(K), count)
-    meta = jnp.stack([trip, overflow.astype(jnp.int32)], axis=1)
-    return meta, ids.astype(jnp.int32)
-
-
-def pack_cull_boxes(bbox_min: np.ndarray, bbox_max: np.ndarray) -> np.ndarray:
-    """(K, 3)+(K, 3) -> (ceil(K/128)*128, 8) SMEM rows for the cull kernel;
-    padded rows hold inverted boxes (matching the XLA path's padding)."""
-    K = bbox_min.shape[0]
-    KB = -(-K // 128) * 128
-    boxes = np.zeros((KB, 8), np.float32)
-    boxes[:K, 0:3] = bbox_min
-    boxes[:K, 3:6] = bbox_max
-    boxes[K:, 0:3] = BIG
-    boxes[K:, 3:6] = -BIG
-    return boxes
-
-
 # ---------------------------------------------------------------------------
 # Pallas kernels
 # ---------------------------------------------------------------------------

@@ -8,7 +8,7 @@ The reference's only instrumentation is a wall-clock print per render
 - :func:`profile_phases` — a measured per-phase breakdown
   (raygen / closest-hit / shadow / shade+control) of one rendered frame, used
   by the renderer's ``profile`` mode and the roofline analysis in
-  ``docs/PERF.md``.
+  ``docs/ROOFLINE.md``.
 
 Useful-work accounting (active-ray counts per bounce) lives in the integrator
 itself (``render/integrator.py`` ``with_stats``) because it must be computed

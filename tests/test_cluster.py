@@ -342,8 +342,8 @@ def test_cull_kernel_matches_xla_cull(cornell_scene, rng):
     XLA reference formulation, with and without tmax."""
     import jax.numpy as jnp
 
-    from chiaroscuro_tpu.ops.cluster_pallas import (
-        _cull_rows,
+    from chiaroscuro_tpu.ops.cluster_pallas import _cull_rows
+    from tools.tpu_cull_experiments import (
         _cull_rows_kernelized,
         pack_cull_boxes,
     )
