@@ -108,13 +108,19 @@ def _safe_inv(d3):
     return inv
 
 
-def _rowhit_scan(o3, inv, bmin, bmax, tmax=None, CK=32):
+def _rowhit_scan(o3, inv, bmin, bmax, tmax=None, CK=32, with_near=False):
     """(B0, K) bool: does any lane of ray row b hit box k?
 
     Exact per-lane slab tests, reduced over each row's 128 lanes.  The K
     axis streams in chunks through a ``lax.scan`` so the (CK, B0, 128) slab
     temporaries stay cache-sized instead of materializing (K, B0, 128) in
     HBM.
+
+    ``with_near=True`` additionally returns the per-row *entry distance*
+    bound: min over hitting lanes of max(near, 0) — a valid lower bound on
+    any intersection t inside box k for every lane of the row (each lane's
+    own entry is >= the row min), used to order kernel visits near-to-far
+    and to early-exit once every lane's best t undercuts the next box.
     """
     K = bmin.shape[0]
     Kp = -(-K // CK) * CK
@@ -140,19 +146,64 @@ def _rowhit_scan(o3, inv, bmin, bmax, tmax=None, CK=32):
         hit = (far >= near) & (far >= 0.0)                 # (CK, B0, 128)
         if tmax is not None:
             hit = hit & (near <= tmax[None])
-        return _, jnp.any(hit, axis=2)                     # (CK, B0)
+        anyhit = jnp.any(hit, axis=2)                      # (CK, B0)
+        if not with_near:
+            return _, anyhit
+        entry = jnp.min(
+            jnp.where(hit, jnp.maximum(near, 0.0), BIG), axis=2
+        )                                                  # (CK, B0)
+        return _, (anyhit, entry)
 
     _, rh = jax.lax.scan(
         chunk_hit, 0, (bmn.reshape(-1, CK, 3), bmx.reshape(-1, CK, 3))
     )
-    return rh.reshape(Kp, -1).T[:, :K]                     # (B0, K)
+    if not with_near:
+        return rh.reshape(Kp, -1).T[:, :K]                 # (B0, K)
+    anyhit, entry = rh
+    return (
+        anyhit.reshape(Kp, -1).T[:, :K],
+        entry.reshape(Kp, -1).T[:, :K],
+    )
+
+
+def _order_hits(hits, cands, entry, K, Le):
+    """Shared cull epilogue: (B0, C) hit mask + candidate ids + entry
+    distances -> near-ascending (meta, ids, nears) lists of width Le.
+
+    Visit order near-to-far is what lets the kernels early-exit once every
+    lane's best t undercuts the next box's entry (the TPU analog of the
+    reference kd-tree's split-plane-ordered descent, src/kdtree.cpp:248-281).
+    Overflow rows (more than Le hits) fall back to the full identity-order
+    K sweep with early exit disabled (nears = -BIG), so results stay exact.
+    """
+    B0 = hits.shape[0]
+    count = jnp.sum(hits, axis=1).astype(jnp.int32)
+    key = jnp.where(hits, entry, BIG)
+    skey, sids = jax.lax.sort(
+        (key, cands.astype(jnp.int32)), num_keys=1, is_stable=True
+    )
+    if skey.shape[1] < Le:
+        pad = Le - skey.shape[1]
+        skey = jnp.concatenate([skey, jnp.full((B0, pad), BIG)], axis=1)
+        sids = jnp.concatenate(
+            [sids, jnp.zeros((B0, pad), jnp.int32)], axis=1
+        )
+    # Sentinel entries sit beyond trip and are never read by the kernel;
+    # clamp them in-range anyway so a bug can't index out of bounds.
+    ids = jnp.minimum(sids[:, :Le], jnp.int32(K - 1))
+    overflow = count > Le
+    trip = jnp.where(overflow, jnp.int32(K), count)
+    meta = jnp.stack([trip, overflow.astype(jnp.int32)], axis=1)
+    nears = jnp.where(overflow[:, None], -BIG, skey[:, :Le])
+    return meta, ids, nears
 
 
 def _cull_rows(o3, d3, bmin, bmax, Lmax, tmax=None):
     """Per-row cluster culling (flat: linear sweep over all K boxes).
 
     o3, d3: (3, B0, 128) planar rays; bmin/bmax: (K, 3) boxes.  Returns
-    (meta (B0, 2) i32 [trip, overflow], ids (B0, Le) i32), Le = min(Lmax, K).
+    (meta (B0, 2) i32 [trip, overflow], ids (B0, Le) i32 near-ascending,
+    nears (B0, Le) f32 entry-distance bounds), Le = min(Lmax, K).
 
     Per-lane exactness note: a conservative interval-arithmetic variant —
     bounding each row's origins/directions and testing (B0, K) intervals —
@@ -165,18 +216,13 @@ def _cull_rows(o3, d3, bmin, bmax, Lmax, tmax=None):
     o3 = jax.lax.stop_gradient(o3)
     d3 = jax.lax.stop_gradient(d3)
     tmax = None if tmax is None else jax.lax.stop_gradient(tmax)
-    rowhit = _rowhit_scan(o3, _safe_inv(d3), bmin, bmax, tmax)
-
-    count = jnp.sum(rowhit, axis=1).astype(jnp.int32)      # (B0,)
-    Le = min(Lmax, K)
-    # Stable partial selection: top_k on the hit mask puts hit ids first,
-    # ascending (ties keep the lower index) — cheaper than a full argsort.
-    _, ids = jax.lax.top_k(rowhit.astype(jnp.int32), Le)
-    ids = ids.astype(jnp.int32)
-    overflow = count > Le
-    trip = jnp.where(overflow, jnp.int32(K), count)
-    meta = jnp.stack([trip, overflow.astype(jnp.int32)], axis=1)
-    return meta, ids
+    rowhit, entry = _rowhit_scan(
+        o3, _safe_inv(d3), bmin, bmax, tmax, with_near=True
+    )
+    cands = jnp.broadcast_to(
+        jnp.arange(K, dtype=jnp.int32)[None, :], rowhit.shape
+    )
+    return _order_hits(rowhit, cands, entry, K, min(Lmax, K))
 
 
 def _cull_rows_hier(o3, d3, sup_min, sup_max, kid_min, kid_max, K, Lmax,
@@ -196,7 +242,8 @@ def _cull_rows_hier(o3, d3, sup_min, sup_max, kid_min, kid_max, K, Lmax,
     so the super test can never miss a hit child (monotone min/max slab
     arithmetic); rows hitting more than ``Lsup`` supers or ``Le`` clusters
     overflow to the full K sweep, identically to the flat path.  Returns the
-    flat cull's exact (meta, ids) contract — hit cluster ids ascending.
+    flat cull's exact (meta, ids, nears) contract — hit cluster ids ordered
+    near-to-far by entry-distance bound.
 
     sup_min/sup_max: (KS, 3); kid_min/kid_max: (KS, G, 3) with padded child
     slots inverted (they are additionally masked by ``cid < K`` here, so
@@ -241,34 +288,29 @@ def _cull_rows_hier(o3, d3, sup_min, sup_max, kid_min, kid_max, K, Lmax,
             hit = hit & (near <= tmax[None])
         cid = sid[None, :] * G + garange[:, None]          # (G, B0)
         hitg = jnp.any(hit, axis=2) & valid[None, :] & (cid < K)
-        return _, (hitg, cid)
+        entry = jnp.min(
+            jnp.where(hit, jnp.maximum(near, 0.0), BIG), axis=2
+        )                                                  # (G, B0)
+        return _, (hitg, cid, entry)
 
-    _, (hits, cids) = jax.lax.scan(
+    _, (hits, cids, entry) = jax.lax.scan(
         child_step, 0, (sids.T, (svals > 0).T)
-    )                                                      # (Lse, G, B0) x2
+    )                                                      # (Lse, G, B0) x3
     B0 = o3.shape[1]
     hits = hits.reshape(Lse * G, B0).T                     # (B0, Lse*G)
     cids = cids.reshape(Lse * G, B0).T
+    entry = entry.reshape(Lse * G, B0).T
 
-    count = jnp.sum(hits, axis=1).astype(jnp.int32)
     Le = min(Lmax, K)
-    # Compact to an ascending id list: hit ids sort below the K sentinel.
-    # (Ids are distinct by construction: top_k supers are distinct, children
-    # within a super are distinct.)
-    key = jnp.where(hits, cids, jnp.int32(K))
-    key = jnp.sort(key, axis=1)
-    if key.shape[1] < Le:
-        key = jnp.concatenate(
-            [key, jnp.full((B0, Le - key.shape[1]), jnp.int32(K))], axis=1
-        )
-    # Sentinel entries sit beyond trip and are never read by the kernel;
-    # clamp them in-range anyway so a bug can't index out of bounds.
-    ids = jnp.minimum(key[:, :Le], jnp.int32(K - 1))
-
+    # (Candidate ids are distinct by construction: top_k supers are
+    # distinct, children within a super are distinct.)
+    meta, ids, nears = _order_hits(hits, cids, entry, K, Le)
+    count = jnp.sum(hits, axis=1).astype(jnp.int32)
     overflow = sup_over | (count > Le)
     trip = jnp.where(overflow, jnp.int32(K), count)
     meta = jnp.stack([trip, overflow.astype(jnp.int32)], axis=1)
-    return meta, ids
+    nears = jnp.where(overflow[:, None], -BIG, nears)
+    return meta, ids, nears
 
 
 # ---------------------------------------------------------------------------
@@ -355,23 +397,51 @@ def _row_rays(o_ref, d_ref, b):
     return o, d
 
 
+def _row_helpers(meta_ref, ids_ref, nears_ref, b, Le):
+    """Per-row id/near accessors shared by the visit kernels.
+
+    Overflow rows (trip = K) sweep clusters in identity order with the
+    early-exit bound disabled (near = -BIG, always "could improve").
+    Early-exit soundness for listed rows: ids arrive near-ascending and
+    ``nears[j]`` lower-bounds every lane's intersection t inside box j
+    (see :func:`_order_hits`), so once every lane's best t is below the
+    next box's near, no later box can improve any lane.
+    """
+    trip = meta_ref[b, 0]
+    overflow = meta_ref[b, 1]
+
+    def cid_of(j):
+        return jnp.where(overflow > 0, j, ids_ref[b, jnp.minimum(j, Le - 1)])
+
+    def near_of(j):
+        return jnp.where(
+            overflow > 0, -BIG, nears_ref[b, jnp.minimum(j, Le - 1)]
+        )
+
+    return trip, cid_of, near_of
+
+
 def _closest_kernel(
-    meta_ref, ids_ref, o_ref, d_ref, pack_ref,
+    meta_ref, ids_ref, nears_ref, o_ref, d_ref, pack_ref,
     t_ref, id_ref, u_ref, v_ref, attr_out, *, M, Le,
 ):
     def row_body(b, _):
-        trip = meta_ref[b, 0]
-        overflow = meta_ref[b, 1]
+        trip, cid_of, near_of = _row_helpers(meta_ref, ids_ref, nears_ref,
+                                             b, Le)
         o, d = _row_rays(o_ref, d_ref, b)
 
-        def body(j, carry):
-            cid = jnp.where(
-                overflow > 0, j, ids_ref[b, jnp.minimum(j, Le - 1)]
-            )
-            chunk = pack_ref[pl.ds(cid * PACK_W, PACK_W), :]
-            return _closest_merge(carry, _visit_chunk(chunk, o, d))
+        def cond(state):
+            j, carry = state
+            return (j < trip) & (jnp.max(carry[0]) >= near_of(j))
 
-        carry = jax.lax.fori_loop(0, trip, body, _closest_init())
+        def body(state):
+            j, carry = state
+            chunk = pack_ref[pl.ds(cid_of(j) * PACK_W, PACK_W), :]
+            return j + 1, _closest_merge(carry, _visit_chunk(chunk, o, d))
+
+        _, carry = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), _closest_init())
+        )
         _store_closest(b, carry, t_ref, id_ref, u_ref, v_ref, attr_out)
         return _
 
@@ -379,12 +449,12 @@ def _closest_kernel(
 
 
 def _any_kernel(
-    meta_ref, ids_ref, o_ref, d_ref, tmax_ref, excl_ref, pack_ref,
+    meta_ref, ids_ref, nears_ref, o_ref, d_ref, tmax_ref, excl_ref, pack_ref,
     occ_ref, *, M, Le,
 ):
     def row_body(b, _):
-        trip = meta_ref[b, 0]
-        overflow = meta_ref[b, 1]
+        trip, cid_of, near_of = _row_helpers(meta_ref, ids_ref, nears_ref,
+                                             b, Le)
         o, d = _row_rays(o_ref, d_ref, b)
         tmax = tmax_ref[pl.ds(b, 1), :]
         excl = excl_ref[pl.ds(b, 1), :]
@@ -393,16 +463,19 @@ def _any_kernel(
         # Mosaic cannot legalize an `scf.yield` of a vector<i1> loop carry
         # (verified on v5e — "failed to legalize operation 'scf.yield'",
         # vector<8x128xi1>), while f32 carries lower fine.
+        # Exits early when every lane is occluded, or when the next box's
+        # entry bound exceeds every *unoccluded* lane's tmax (boxes are
+        # near-ascending, so no later box can block those lanes either).
         def cond(state):
             j, occf = state
-            return (j < trip) & (jnp.min(occf) < 1.0)
+            open_tmax = jnp.max(jnp.where(occf < 1.0, tmax, -BIG))
+            return (j < trip) & (jnp.min(occf) < 1.0) & (
+                near_of(j) <= open_tmax
+            )
 
         def body(state):
             j, occf = state
-            cid = jnp.where(
-                overflow > 0, j, ids_ref[b, jnp.minimum(j, Le - 1)]
-            )
-            chunk = pack_ref[pl.ds(cid * PACK_W, PACK_W), :]
+            chunk = pack_ref[pl.ds(cid_of(j) * PACK_W, PACK_W), :]
             hit = _visit_chunk(chunk, o, d, tmax, excl)
             return j + 1, jnp.maximum(occf, hit.astype(jnp.float32))
 
@@ -419,19 +492,14 @@ def _any_kernel(
 
 
 def _stream_closest_kernel(
-    meta_ref, ids_ref, o_ref, d_ref, pack_hbm,
+    meta_ref, ids_ref, nears_ref, o_ref, d_ref, pack_hbm,
     t_ref, id_ref, u_ref, v_ref, attr_out,
     scratch, sem, *, M, Le,
 ):
     def row_body(b, acc):
-        trip = meta_ref[b, 0]
-        overflow = meta_ref[b, 1]
+        trip, cid_of, near_of = _row_helpers(meta_ref, ids_ref, nears_ref,
+                                             b, Le)
         o, d = _row_rays(o_ref, d_ref, b)
-
-        def cid_of(j):
-            return jnp.where(
-                overflow > 0, j, ids_ref[b, jnp.minimum(j, Le - 1)]
-            )
 
         def dma(slot, j):
             return pltpu.make_async_copy(
@@ -444,7 +512,17 @@ def _stream_closest_kernel(
         def _():
             dma(0, 0).start()
 
-        def body(j, carry):
+        # Early exit keeps the one-ahead prefetch: body j prefetches j+1
+        # before computing j, so on exit at j_exit < trip the prefetch of
+        # j_exit (issued by body j_exit-1, or the kickoff DMA when
+        # j_exit == 0) is still in flight and is drained below — a pending
+        # async copy must always be consumed.
+        def cond(state):
+            j, carry = state
+            return (j < trip) & (jnp.max(carry[0]) >= near_of(j))
+
+        def body(state):
+            j, carry = state
             slot = jax.lax.rem(j, 2)
 
             @pl.when(j + 1 < trip)
@@ -453,9 +531,16 @@ def _stream_closest_kernel(
 
             dma(slot, j).wait()
             chunk = scratch[slot]
-            return _closest_merge(carry, _visit_chunk(chunk, o, d))
+            return j + 1, _closest_merge(carry, _visit_chunk(chunk, o, d))
 
-        carry = jax.lax.fori_loop(0, trip, body, _closest_init())
+        j_exit, carry = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), _closest_init())
+        )
+
+        @pl.when(j_exit < trip)
+        def _():
+            dma(jax.lax.rem(j_exit, 2), j_exit).wait()
+
         _store_closest(b, carry, t_ref, id_ref, u_ref, v_ref, attr_out)
         return acc
 
@@ -463,20 +548,15 @@ def _stream_closest_kernel(
 
 
 def _stream_any_kernel(
-    meta_ref, ids_ref, o_ref, d_ref, tmax_ref, excl_ref, pack_hbm,
+    meta_ref, ids_ref, nears_ref, o_ref, d_ref, tmax_ref, excl_ref, pack_hbm,
     occ_ref, scratch, sem, *, M, Le,
 ):
     def row_body(b, acc):
-        trip = meta_ref[b, 0]
-        overflow = meta_ref[b, 1]
+        trip, cid_of, near_of = _row_helpers(meta_ref, ids_ref, nears_ref,
+                                             b, Le)
         o, d = _row_rays(o_ref, d_ref, b)
         tmax = tmax_ref[pl.ds(b, 1), :]
         excl = excl_ref[pl.ds(b, 1), :]
-
-        def cid_of(j):
-            return jnp.where(
-                overflow > 0, j, ids_ref[b, jnp.minimum(j, Le - 1)]
-            )
 
         def dma(slot, j):
             return pltpu.make_async_copy(
@@ -489,12 +569,19 @@ def _stream_any_kernel(
         def _():
             dma(0, 0).start()
 
-        # No early exit: a pending prefetch must always be consumed, so the
-        # streaming any-kernel runs its full trip (the resident variant
-        # early-exits instead).
+        # Early exit with one-ahead prefetch; the in-flight prefetch of
+        # j_exit is drained after the loop (see _stream_closest_kernel).
         # f32 occlusion carry for the same Mosaic vector<i1>-yield reason
         # as the resident any-kernel above.
-        def body(j, occf):
+        def cond(state):
+            j, occf = state
+            open_tmax = jnp.max(jnp.where(occf < 1.0, tmax, -BIG))
+            return (j < trip) & (jnp.min(occf) < 1.0) & (
+                near_of(j) <= open_tmax
+            )
+
+        def body(state):
+            j, occf = state
             slot = jax.lax.rem(j, 2)
 
             @pl.when(j + 1 < trip)
@@ -504,11 +591,16 @@ def _stream_any_kernel(
             dma(slot, j).wait()
             chunk = scratch[slot]
             hit = _visit_chunk(chunk, o, d, tmax, excl)
-            return jnp.maximum(occf, hit.astype(jnp.float32))
+            return j + 1, jnp.maximum(occf, hit.astype(jnp.float32))
 
-        occf = jax.lax.fori_loop(
-            0, trip, body, jnp.zeros((1, 128), jnp.float32)
+        j_exit, occf = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.zeros((1, 128), jnp.float32))
         )
+
+        @pl.when(j_exit < trip)
+        def _():
+            dma(jax.lax.rem(j_exit, 2), j_exit).wait()
+
         occ_ref[pl.ds(b, 1), :] = occf > 0.0
         return acc
 
@@ -527,19 +619,23 @@ def _common_specs(Le):
     smem_ids = pl.BlockSpec(
         (TILE_ROWS, Le), lambda i: (i, 0), memory_space=pltpu.SMEM
     )
+    smem_nears = pl.BlockSpec(
+        (TILE_ROWS, Le), lambda i: (i, 0), memory_space=pltpu.SMEM
+    )
     ray = pl.BlockSpec(
         (3, TILE_ROWS, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
     row = pl.BlockSpec(
         (TILE_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    return smem_meta, smem_ids, ray, row
+    return smem_meta, smem_ids, smem_nears, ray, row
 
 
 @partial(jax.jit, static_argnames=("M", "Le", "stream", "interpret"))
-def _closest_call(meta, ids, o3, d3, packed, M, Le, stream, interpret=False):
+def _closest_call(meta, ids, nears, o3, d3, packed, M, Le, stream,
+                  interpret=False):
     B0 = o3.shape[1]
-    smem_meta, smem_ids, ray, row = _common_specs(Le)
+    smem_meta, smem_ids, smem_nears, ray, row = _common_specs(Le)
     pack_spec = pl.BlockSpec(
         memory_space=pl.ANY if stream else pltpu.VMEM
     )
@@ -555,7 +651,7 @@ def _closest_call(meta, ids, o3, d3, packed, M, Le, stream, interpret=False):
         partial(kernel, M=M, Le=Le),
         grid=(B0 // TILE_ROWS,),
         out_shape=out_shape,
-        in_specs=[smem_meta, smem_ids, ray, ray, pack_spec],
+        in_specs=[smem_meta, smem_ids, smem_nears, ray, ray, pack_spec],
         out_specs=[row] * 4
         + [
             pl.BlockSpec(
@@ -576,14 +672,14 @@ def _closest_call(meta, ids, o3, d3, packed, M, Le, stream, interpret=False):
             vmem_limit_bytes=VMEM_LIMIT_BYTES
         ),
         interpret=interpret,
-    )(meta, ids, o3, d3, packed)
+    )(meta, ids, nears, o3, d3, packed)
 
 
 @partial(jax.jit, static_argnames=("M", "Le", "stream", "interpret"))
-def _any_call(meta, ids, o3, d3, tmax, excl, packed, M, Le, stream,
+def _any_call(meta, ids, nears, o3, d3, tmax, excl, packed, M, Le, stream,
               interpret=False):
     B0 = o3.shape[1]
-    smem_meta, smem_ids, ray, row = _common_specs(Le)
+    smem_meta, smem_ids, smem_nears, ray, row = _common_specs(Le)
     pack_spec = pl.BlockSpec(
         memory_space=pl.ANY if stream else pltpu.VMEM
     )
@@ -592,7 +688,8 @@ def _any_call(meta, ids, o3, d3, tmax, excl, packed, M, Le, stream,
         partial(kernel, M=M, Le=Le),
         grid=(B0 // TILE_ROWS,),
         out_shape=jax.ShapeDtypeStruct((B0, 128), jnp.bool_),
-        in_specs=[smem_meta, smem_ids, ray, ray, row, row, pack_spec],
+        in_specs=[smem_meta, smem_ids, smem_nears, ray, ray, row, row,
+                  pack_spec],
         out_specs=row,
         scratch_shapes=(
             [
@@ -606,7 +703,7 @@ def _any_call(meta, ids, o3, d3, tmax, excl, packed, M, Le, stream,
             vmem_limit_bytes=VMEM_LIMIT_BYTES
         ),
         interpret=interpret,
-    )(meta, ids, o3, d3, tmax, excl, packed)
+    )(meta, ids, nears, o3, d3, tmax, excl, packed)
 
 
 # ---------------------------------------------------------------------------
@@ -622,7 +719,7 @@ def make_cluster_intersectors(
     clusters: ClusterArrays | None = None,
     stream: bool | None = None,
     hier: bool | None = None,
-    Lsup: int = 16,
+    Lsup: int = 48,
 ) -> Tuple[ClosestFn, AnyFn]:
     """Cluster-culled Pallas intersectors for large scenes.
 
@@ -637,7 +734,18 @@ def make_cluster_intersectors(
     matrix exceeds the VMEM residency budget.  ``hier=None`` auto-selects
     the two-level supercluster cull (:func:`_cull_rows_hier`) for large
     cluster counts, where the flat K sweep would dominate the frame;
-    ``Lsup`` caps the per-row supercluster list (overflow = full sweep).
+    ``Lsup`` caps the per-row supercluster list (overflow = full sweep;
+    measured on the 480k-tri atrium, even *primary* rows hit p50 = 23
+    supers, so the old default of 16 overflowed 96% of rows — see
+    docs/ROOFLINE.md sponza section).
+
+    The returned functions carry a ``bind_scene(scene)`` attribute: it
+    re-derives the packed buffers from the *given* scene pytree and returns
+    planar (closest, any) functions bound to them.  The integrator calls it
+    with its (usually traced) scene argument so the packed matrix becomes a
+    value computed from jit arguments — NOT an 88 MB MLIR constant (the
+    round-3 sponza 237 s compile cliff) — and is derived once per frame,
+    hoisted out of the sample/bounce scans.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -728,21 +836,21 @@ def make_cluster_intersectors(
 
     from chiaroscuro_tpu.utils.hostconst import host_tree, is_traced
 
-    if is_traced(scene):
-        derive = partial(_derive, xp=jnp)
-    else:
-        _consts = _derive(host_tree(scene), xp=np)
-
-        def derive(_s):
-            return _consts
+    def derive(s):
+        """Packed buffers for a scene: in-graph (traced, differentiable)
+        when ``s`` is traced, host numpy constants otherwise."""
+        if is_traced(s):
+            return _derive(s, xp=jnp)
+        return _derive(host_tree(s), xp=np)
 
     def _closest_impl(o3, d3, packed):
         B0 = o3.shape[1]
         o3p = _pad_planar_rows(o3, TILE_ROWS, 1)
         d3p = _pad_planar_rows(d3, TILE_ROWS, 1)
-        meta, ids = cull(o3p, d3p)
+        meta, ids, nears = cull(o3p, d3p)
         t, tid, u, v, am = _closest_call(
-            meta, ids, o3p, d3p, packed, M, Le, stream, interpret=interpret
+            meta, ids, nears, o3p, d3p, packed, M, Le, stream,
+            interpret=interpret,
         )
         return t[:B0], tid[:B0], u[:B0], v[:B0], am[:, :B0]
 
@@ -787,63 +895,83 @@ def make_cluster_intersectors(
 
     closest.defvjp(_closest_fwd, _closest_bwd)
 
-    def closest_planar(o3, d3) -> ClosestHit:
-        tri_orig, attrT_orig, packed = derive(scene)
-        t, tid, u, v, am = closest(o3, d3, tri_orig, attrT_orig, packed)
-        return ClosestHit(t < BIG, t, tid, u, v, unpack_attrs_planar(am))
+    def _make_planar_fns(tri_orig, attrT_orig, packed):
+        def closest_planar(o3, d3) -> ClosestHit:
+            t, tid, u, v, am = closest(o3, d3, tri_orig, attrT_orig, packed)
+            return ClosestHit(t < BIG, t, tid, u, v, unpack_attrs_planar(am))
 
-    def any_planar(o3, d3, tmax, excl):
-        B0 = o3.shape[1]
-        o3 = _pad_planar_rows(jax.lax.stop_gradient(o3), TILE_ROWS, 1)
-        d3 = _pad_planar_rows(jax.lax.stop_gradient(d3), TILE_ROWS, 1)
-        tmax = _pad_planar_rows(jax.lax.stop_gradient(tmax), TILE_ROWS, 0)
-        excl = _pad_planar_rows(
-            excl.astype(jnp.float32), TILE_ROWS, 0
-        )  # ids compared as exact floats in-kernel
-        _, _, packed = derive(jax.lax.stop_gradient(scene))
-        meta, ids = cull(o3, d3, tmax=tmax)
-        occ = _any_call(
-            meta, ids, o3, d3, tmax, excl, packed, M, Le, stream,
-            interpret=interpret,
-        )
-        return occ[:B0]
+        packed_sg = jax.lax.stop_gradient(packed)
+
+        def any_planar(o3, d3, tmax, excl):
+            B0 = o3.shape[1]
+            o3 = _pad_planar_rows(jax.lax.stop_gradient(o3), TILE_ROWS, 1)
+            d3 = _pad_planar_rows(jax.lax.stop_gradient(d3), TILE_ROWS, 1)
+            tmax = _pad_planar_rows(jax.lax.stop_gradient(tmax), TILE_ROWS, 0)
+            excl = _pad_planar_rows(
+                excl.astype(jnp.float32), TILE_ROWS, 0
+            )  # ids compared as exact floats in-kernel
+            meta, ids, nears = cull(o3, d3, tmax=tmax)
+            occ = _any_call(
+                meta, ids, nears, o3, d3, tmax, excl, packed_sg, M, Le,
+                stream, interpret=interpret,
+            )
+            return occ[:B0]
+
+        return closest_planar, any_planar
 
     def _flat(x, R):
         return x.reshape(-1)[:R]
 
-    def closest_fn(origins, dirs) -> ClosestHit:
-        o3, R = _rows_to_planar(origins)
-        d3, _ = _rows_to_planar(dirs)
-        res = closest_planar(o3, d3)
-        attrs = {}
-        for k, pv in res.attrs.items():
-            if pv.ndim == 3:
-                attrs[k] = pv.reshape(pv.shape[0], -1).T[:R]
-            else:
-                attrs[k] = _flat(pv, R)
-        return ClosestHit(
-            _flat(res.hit, R), _flat(res.t, R), _flat(res.tid, R),
-            _flat(res.u, R), _flat(res.v, R), attrs,
-        )
-
-    def any_fn(origins, dirs, tmax, exclude_id):
-        o3, R = _rows_to_planar(origins)
-        d3, _ = _rows_to_planar(dirs)
-        pad = (-R) % 128
-        if pad:
-            tmax = jnp.concatenate([tmax, tmax[:1].repeat(pad, 0)])
-            exclude_id = jnp.concatenate(
-                [exclude_id, exclude_id[:1].repeat(pad, 0)]
+    def _finalize(closest_planar, any_planar):
+        def closest_fn(origins, dirs) -> ClosestHit:
+            o3, R = _rows_to_planar(origins)
+            d3, _ = _rows_to_planar(dirs)
+            res = closest_planar(o3, d3)
+            attrs = {}
+            for k, pv in res.attrs.items():
+                if pv.ndim == 3:
+                    attrs[k] = pv.reshape(pv.shape[0], -1).T[:R]
+                else:
+                    attrs[k] = _flat(pv, R)
+            return ClosestHit(
+                _flat(res.hit, R), _flat(res.t, R), _flat(res.tid, R),
+                _flat(res.u, R), _flat(res.v, R), attrs,
             )
-        occ = any_planar(
-            o3, d3, tmax.reshape(-1, 128), exclude_id.reshape(-1, 128)
-        )
-        return _flat(occ, R)
 
-    closest_fn.planar_fn = closest_planar
-    any_fn.planar_fn = any_planar
-    # Bounce compaction frees whole dead rows (trip=0 in the cull), which
-    # is real work here — the renderer reads this preference (measured
-    # ~+8% whole-frame on nanosuit; see render/integrator.py docstring).
-    closest_fn.prefers_compaction = True
-    return closest_fn, any_fn
+        def any_fn(origins, dirs, tmax, exclude_id):
+            o3, R = _rows_to_planar(origins)
+            d3, _ = _rows_to_planar(dirs)
+            pad = (-R) % 128
+            if pad:
+                tmax = jnp.concatenate([tmax, tmax[:1].repeat(pad, 0)])
+                exclude_id = jnp.concatenate(
+                    [exclude_id, exclude_id[:1].repeat(pad, 0)]
+                )
+            occ = any_planar(
+                o3, d3, tmax.reshape(-1, 128), exclude_id.reshape(-1, 128)
+            )
+            return _flat(occ, R)
+
+        closest_fn.planar_fn = closest_planar
+        any_fn.planar_fn = any_planar
+        closest_fn.bind_scene = bind_scene
+        any_fn.bind_scene = bind_scene
+        # Bounce compaction frees whole dead rows (trip=0 in the cull),
+        # which is real work here — the renderer reads this preference
+        # (measured ~+8% whole-frame on nanosuit; integrator docstring).
+        closest_fn.prefers_compaction = True
+        # The cull quantizes divergence to 128-lane rows: spatially sorting
+        # bounce rays (integrator compaction key) keeps row unions tight,
+        # which is what keeps trips small in enclosed scenes (ROOFLINE.md
+        # sponza section).
+        closest_fn.prefers_ray_sort = True
+        return closest_fn, any_fn
+
+    def bind_scene(s):
+        """Intersector pair bound to buffers derived from ``s`` — traced,
+        differentiable derivation when ``s`` is traced (see docstring).
+        ``render_samples`` calls this with its scene argument once per
+        frame, outside the sample/bounce scans."""
+        return _finalize(*_make_planar_fns(*derive(s)))
+
+    return bind_scene(scene)

@@ -506,14 +506,18 @@ def make_pallas_intersectors(
     from chiaroscuro_tpu.utils.hostconst import host_tree, is_traced
 
     chunk = _tri_chunk_for(scene.n_tris)
+
     # Concrete scene -> derive *host* constants (no device fetch at every
-    # lowering of a jitted caller, utils/hostconst.py); traced scene (the
-    # differentiable path rebuilds intersectors inside the loss) -> stay
-    # in-graph so gradients flow.
-    src = scene if is_traced(scene) else host_tree(scene)
-    xp = jnp if is_traced(scene) else np
-    tri_rows = _prep_tris(src.tri_v0, src.tri_v1, src.tri_v2, chunk, xp)
-    attrT = _prep_attrs(src, chunk, xp)
+    # lowering of a jitted caller, utils/hostconst.py); traced scene (e.g.
+    # ``bind_scene`` called by render_samples with its scene argument, or a
+    # differentiable loss rebuilding intersectors) -> stay in-graph so
+    # gradients flow and nothing embeds as an MLIR constant.
+    def _derive(s):
+        src = s if is_traced(s) else host_tree(s)
+        xp = jnp if is_traced(s) else np
+        tri_rows = _prep_tris(src.tri_v0, src.tri_v1, src.tri_v2, chunk, xp)
+        attrT = _prep_attrs(src, chunk, xp)
+        return tri_rows, attrT
 
     def _live_rows(live, B0):
         """(B0, 1) f32 live flags, padded to the TILE_B grid with zeros
@@ -529,75 +533,86 @@ def make_pallas_intersectors(
             )
         return live
 
-    def closest_planar(o3, d3, live=None) -> ClosestHit:
-        B0 = o3.shape[1]
-        o3p = _pad_planar_rows(o3, TILE_B, 1)
-        d3p = _pad_planar_rows(d3, TILE_B, 1)
-        t, tid, u, v, am = _closest_diff(
-            _live_rows(live, B0), o3p, d3p, tri_rows, attrT, chunk, interpret
-        )
-        t, tid, u, v, am = t[:B0], tid[:B0], u[:B0], v[:B0], am[:, :B0]
-        return ClosestHit(t < BIG, t, tid, u, v, unpack_attrs_planar(am))
-
-    def any_planar(o3, d3, tmax, excl, live=None):
-        # Occlusion is a discrete decision (bool): detach its float inputs so
-        # autodiff never reaches the pallas_call.  (The brute-force oracle's
-        # bool output is equally gradient-free.)
-        o3 = jax.lax.stop_gradient(o3)
-        d3 = jax.lax.stop_gradient(d3)
-        tmax = jax.lax.stop_gradient(tmax)
-        B0 = o3.shape[1]
-        o3p = _pad_planar_rows(o3, TILE_B, 1)
-        d3p = _pad_planar_rows(d3, TILE_B, 1)
-        tm = _pad_planar_rows(tmax, TILE_B, 0)
-        ex = _pad_planar_rows(excl.astype(jnp.int32), TILE_B, 0)
-        occ = _any_call(
-            _live_rows(live, B0), o3p, d3p, tm, ex,
-            jax.lax.stop_gradient(tri_rows), chunk,
-            interpret=interpret,
-        )
-        return occ[:B0]
-
     def _flat(x, R):
         return x.reshape(-1)[:R]
 
-    def closest_fn(origins, dirs) -> ClosestHit:
-        o3, R = _rows_to_planar(origins)
-        d3, _ = _rows_to_planar(dirs)
-        res = closest_planar(o3, d3)
-        attrs = {}
-        for k, pv in res.attrs.items():
-            if pv.ndim == 3:                       # planar (w, B0, 128)
-                attrs[k] = pv.reshape(pv.shape[0], -1).T[:R]
-            else:
-                attrs[k] = _flat(pv, R)
-        return ClosestHit(
-            _flat(res.hit, R),
-            _flat(res.t, R),
-            _flat(res.tid, R),
-            _flat(res.u, R),
-            _flat(res.v, R),
-            attrs,
-        )
-
-    def any_fn(origins, dirs, tmax, exclude_id):
-        o3, R = _rows_to_planar(origins)
-        d3, _ = _rows_to_planar(dirs)
-        pad = (-R) % 128
-        if pad:
-            tmax = jnp.concatenate([tmax, tmax[:1].repeat(pad, 0)])
-            exclude_id = jnp.concatenate(
-                [exclude_id, exclude_id[:1].repeat(pad, 0)]
+    def _finalize(tri_rows, attrT):
+        def closest_planar(o3, d3, live=None) -> ClosestHit:
+            B0 = o3.shape[1]
+            o3p = _pad_planar_rows(o3, TILE_B, 1)
+            d3p = _pad_planar_rows(d3, TILE_B, 1)
+            t, tid, u, v, am = _closest_diff(
+                _live_rows(live, B0), o3p, d3p, tri_rows, attrT, chunk,
+                interpret,
             )
-        occ = any_planar(
-            o3, d3, tmax.reshape(-1, 128), exclude_id.reshape(-1, 128)
-        )
-        return _flat(occ, R)
+            t, tid, u, v, am = t[:B0], tid[:B0], u[:B0], v[:B0], am[:, :B0]
+            return ClosestHit(t < BIG, t, tid, u, v, unpack_attrs_planar(am))
 
-    closest_fn.planar_fn = closest_planar
-    any_fn.planar_fn = any_planar
-    # Planar fns accept a `live` (B0, 1) row-consumption hint (integrator
-    # compaction): tiles whose rows are all dead skip their triangle sweep.
-    closest_fn.accepts_live = True
-    any_fn.accepts_live = True
-    return closest_fn, any_fn
+        def any_planar(o3, d3, tmax, excl, live=None):
+            # Occlusion is a discrete decision (bool): detach its float
+            # inputs so autodiff never reaches the pallas_call.  (The
+            # brute-force oracle's bool output is equally gradient-free.)
+            o3 = jax.lax.stop_gradient(o3)
+            d3 = jax.lax.stop_gradient(d3)
+            tmax = jax.lax.stop_gradient(tmax)
+            B0 = o3.shape[1]
+            o3p = _pad_planar_rows(o3, TILE_B, 1)
+            d3p = _pad_planar_rows(d3, TILE_B, 1)
+            tm = _pad_planar_rows(tmax, TILE_B, 0)
+            ex = _pad_planar_rows(excl.astype(jnp.int32), TILE_B, 0)
+            occ = _any_call(
+                _live_rows(live, B0), o3p, d3p, tm, ex,
+                jax.lax.stop_gradient(tri_rows), chunk,
+                interpret=interpret,
+            )
+            return occ[:B0]
+
+        def closest_fn(origins, dirs) -> ClosestHit:
+            o3, R = _rows_to_planar(origins)
+            d3, _ = _rows_to_planar(dirs)
+            res = closest_planar(o3, d3)
+            attrs = {}
+            for k, pv in res.attrs.items():
+                if pv.ndim == 3:                   # planar (w, B0, 128)
+                    attrs[k] = pv.reshape(pv.shape[0], -1).T[:R]
+                else:
+                    attrs[k] = _flat(pv, R)
+            return ClosestHit(
+                _flat(res.hit, R),
+                _flat(res.t, R),
+                _flat(res.tid, R),
+                _flat(res.u, R),
+                _flat(res.v, R),
+                attrs,
+            )
+
+        def any_fn(origins, dirs, tmax, exclude_id):
+            o3, R = _rows_to_planar(origins)
+            d3, _ = _rows_to_planar(dirs)
+            pad = (-R) % 128
+            if pad:
+                tmax = jnp.concatenate([tmax, tmax[:1].repeat(pad, 0)])
+                exclude_id = jnp.concatenate(
+                    [exclude_id, exclude_id[:1].repeat(pad, 0)]
+                )
+            occ = any_planar(
+                o3, d3, tmax.reshape(-1, 128), exclude_id.reshape(-1, 128)
+            )
+            return _flat(occ, R)
+
+        closest_fn.planar_fn = closest_planar
+        any_fn.planar_fn = any_planar
+        closest_fn.bind_scene = bind_scene
+        any_fn.bind_scene = bind_scene
+        # Planar fns accept a `live` (B0, 1) row-consumption hint
+        # (integrator compaction): all-dead tiles skip their sweep.
+        closest_fn.accepts_live = True
+        any_fn.accepts_live = True
+        return closest_fn, any_fn
+
+    def bind_scene(s):
+        """Intersector pair re-derived from ``s`` (traced when ``s`` is
+        traced); called by render_samples with its scene argument."""
+        return _finalize(*_derive(s))
+
+    return bind_scene(scene)

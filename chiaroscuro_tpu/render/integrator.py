@@ -221,16 +221,28 @@ def trace_paths_planar(
     is **bitwise identical** to ``compact=False`` — pinned by
     tests/test_integrator.py.
 
+    When the intersector declares ``prefers_ray_sort`` (the cluster path),
+    the sort additionally becomes **spatial**: one *global* stable sort
+    keyed on (dead, direction octant, origin morton cell).  The cluster
+    cull quantizes divergence to 128-lane rows (the union of all lanes'
+    box hits); unsorted bounce rays in an enclosed scene make every row
+    touch nearly every box (measured on the 480k-tri atrium: p50 = 181 of
+    235 superclusters per bounce row, 100% overflow to the full-K sweep —
+    docs/ROOFLINE.md sponza section), while octant+cell-sorted rows stay
+    tight.  The key is ordering-only metadata, so radiance remains bitwise
+    identical — same payload-sort machinery, different key.
+
     Implementation notes (measured on v5e, 1M-lane wavefront):
     - the state movement must be ONE ``lax.sort`` with the state as
       payloads (~0.3 ms).  The natural cumsum-rank + scatter + per-array
       gather formulation costs ~70 ms/bounce in situ — XLA lowers those
       gathers inside the nested sample/bounce scans to per-element generic
       gathers;
-    - segment-LOCAL (not global) packing: global packing mixes rays from
-      across the image into each surviving row, and the per-row cluster
-      cull lists blow past Lmax and overflow to full-K sweeps (measured 2x
-      whole-frame regression on nanosuit).
+    - without a spatial key, packing must be segment-LOCAL: globally
+      packing by liveness alone mixes rays from across the image into each
+      surviving row and the per-row cluster cull lists blow past Lmax
+      (measured 2x whole-frame regression on nanosuit).  The spatial key
+      is what makes a global sort *help* instead.
 
     Net effect is scene-dependent: wins where dead rows free real work
     (cluster visits, dense-tile skips), costs ~0.3 ms/bounce always.  The
@@ -243,10 +255,51 @@ def trace_paths_planar(
     def r2(x):  # per-ray scalar -> (B0, 128)
         return x.reshape(B)
 
-    seg = min(COMPACT_SEG_LANES, R_flat)
-    n_seg = R_flat // seg if R_flat % seg == 0 else 1
-    if R_flat % seg != 0:
-        seg = R_flat
+    spatial_sort = compact and bool(
+        getattr(closest_fn, "prefers_ray_sort", False)
+    )
+    if spatial_sort:
+        # One global sort: the spatial key keeps rows coherent everywhere.
+        seg, n_seg = R_flat, 1
+    else:
+        seg = min(COMPACT_SEG_LANES, R_flat)
+        n_seg = R_flat // seg if R_flat % seg == 0 else 1
+        if R_flat % seg != 0:
+            seg = R_flat
+
+    if spatial_sort:
+        # Morton-cell quantization bounds (ordering-only metadata).
+        wmin_s = jax.lax.stop_gradient(scene.world_min)
+        wext_s = jnp.maximum(
+            jax.lax.stop_gradient(scene.world_max) - wmin_s, 1e-6
+        )
+
+    def _part1by2(x):
+        """Spread the low 10 bits of x to every 3rd bit (Morton helper)."""
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    def _spatial_key(origin, direction, active):
+        """(B0, 128) i32: dead lanes last, then direction octant, then
+        5-bit/axis Morton cell of the origin — rays that share a row after
+        sorting by this key share a tight (cell, octant) bundle, which is
+        what keeps per-row cull unions small (see docstring)."""
+        dead = (~active).astype(jnp.int32)
+        octant = (
+            (direction[0] < 0).astype(jnp.int32)
+            | ((direction[1] < 0).astype(jnp.int32) << 1)
+            | ((direction[2] < 0).astype(jnp.int32) << 2)
+        )
+        morton = jnp.zeros(origin.shape[1:], jnp.int32)
+        for a in range(3):
+            q = jnp.clip(
+                (origin[a] - wmin_s[a]) / wext_s[a] * 32.0, 0.0, 31.0
+            ).astype(jnp.int32)
+            morton = morton | (_part1by2(q) << a)
+        return (dead << 18) | (octant << 15) | morton
 
     n_lights = scene.n_lights
     bg = background[:, None, None]  # (3, 1, 1)
@@ -282,7 +335,11 @@ def trace_paths_planar(
             # Stable-sort live lanes to the front of each segment; all
             # per-lane state rides the sort as payloads (see docstring for
             # why this must be one lax.sort, not gathers).
-            key = (~active).reshape(n_seg, seg).astype(jnp.int32)
+            if spatial_sort:
+                key = _spatial_key(origin, direction, active)
+                key = key.reshape(n_seg, seg)
+            else:
+                key = (~active).reshape(n_seg, seg).astype(jnp.int32)
 
             def s2(x):
                 return x.reshape(n_seg, seg)

@@ -110,6 +110,16 @@ def render_samples(
     if compact is None:
         compact = bool(getattr(closest_fn, "prefers_compaction", False))
 
+    # Re-derive intersector buffers (packed cluster matrix, triangle SoA,
+    # attribute matrix) from THIS scene value, once, outside the scans.
+    # When `scene` is a jit argument (the usual path), the buffers become
+    # traced values computed from arguments instead of multi-MB MLIR
+    # closure constants (the round-3 sponza 237 s compile cliff), and
+    # gradients flow to the scene without callers rebuilding intersectors.
+    bind = getattr(closest_fn, "bind_scene", None)
+    if bind is not None:
+        closest_fn, any_fn = bind(scene)
+
     def one_sample(acc, s):
         acc_img, acc_stats = acc
         k0, k1 = prng.base_key(seed, pixel_idx, s)

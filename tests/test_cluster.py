@@ -153,8 +153,9 @@ def test_cluster_any_matches_oracle(rng, stream, hier):
 @pytest.mark.parametrize("with_tmax", [False, True])
 def test_hier_cull_matches_flat(rng, with_tmax):
     """The two-level supercluster cull must produce the flat linear sweep's
-    exact (meta, ids) when neither path overflows: same per-row trip count
-    and the same ascending hit-cluster-id list."""
+    exact (meta, ids, nears) when neither path overflows: same per-row trip
+    count, same hit-cluster-id set, same per-id entry-distance bound, and
+    both lists near-ascending."""
     from chiaroscuro_tpu.ops.cluster_pallas import (
         BIG, _cull_rows, _cull_rows_hier,
     )
@@ -176,18 +177,33 @@ def test_hier_cull_matches_flat(rng, with_tmax):
         if with_tmax else None
     )
 
-    fm, fids = _cull_rows(o3, d3, ca.bbox_min, ca.bbox_max, K, tmax=tmax)
-    hm, hids = _cull_rows_hier(
+    fm, fids, fnears = _cull_rows(
+        o3, d3, ca.bbox_min, ca.bbox_max, K, tmax=tmax
+    )
+    hm, hids, hnears = _cull_rows_hier(
         o3, d3, ca.super_min, ca.super_max,
         kid_min.reshape(KS, G, 3), kid_max.reshape(KS, G, 3),
         K, K, Lsup=KS, tmax=tmax,
     )
-    fm, fids, hm, hids = map(np.asarray, (fm, fids, hm, hids))
+    fm, fids, fnears, hm, hids, hnears = map(
+        np.asarray, (fm, fids, fnears, hm, hids, hnears)
+    )
     assert not fm[:, 1].any() and not hm[:, 1].any()  # Le=K: no overflow
     np.testing.assert_array_equal(hm[:, 0], fm[:, 0])
     for b in range(fm.shape[0]):
         trip = fm[b, 0]
-        np.testing.assert_array_equal(hids[b, :trip], fids[b, :trip])
+        # near-ascending visit order in both paths
+        assert (np.diff(fnears[b, :trip]) >= 0).all()
+        assert (np.diff(hnears[b, :trip]) >= 0).all()
+        # same (id -> near) mapping; order may differ only among equal nears
+        np.testing.assert_array_equal(
+            np.sort(hids[b, :trip]), np.sort(fids[b, :trip])
+        )
+        forder = np.argsort(fids[b, :trip], kind="stable")
+        horder = np.argsort(hids[b, :trip], kind="stable")
+        np.testing.assert_array_equal(
+            hnears[b, :trip][horder], fnears[b, :trip][forder]
+        )
 
 
 def test_cluster_attrs_match_scene_gathers(rng):
@@ -338,8 +354,11 @@ def test_cluster_grads_under_jit_scan_match_oracle(cornell_scene):
 
 
 def test_cull_kernel_matches_xla_cull(cornell_scene, rng):
-    """The Pallas cull kernel must produce bit-identical (meta, ids) to the
-    XLA reference formulation, with and without tmax."""
+    """The (experimental, tools/-resident) Pallas cull kernel must find the
+    same per-row hit sets as the XLA reference formulation, with and
+    without tmax.  The kernel predates the near-ordered contract, so ids
+    are compared as sets and the XLA path's extra nears output is checked
+    for order only."""
     import jax.numpy as jnp
 
     from chiaroscuro_tpu.ops.cluster_pallas import _cull_rows
@@ -365,8 +384,17 @@ def test_cull_kernel_matches_xla_cull(cornell_scene, rng):
         rng.uniform(0.1, 3.0, (n,)).reshape(-1, 128), jnp.float32)
 
     for tm in (None, tmax):
-        meta_ref, ids_ref = _cull_rows(o3, d3, bmin, bmax, 128, tmax=tm)
+        meta_ref, ids_ref, nears_ref = _cull_rows(
+            o3, d3, bmin, bmax, 128, tmax=tm)
         meta_k, ids_k = _cull_rows_kernelized(
             o3, d3, boxes, ca.K, 128, interpret=True, tmax=tm)
-        np.testing.assert_array_equal(np.asarray(meta_ref), np.asarray(meta_k))
-        np.testing.assert_array_equal(np.asarray(ids_ref), np.asarray(ids_k))
+        meta_ref, ids_ref, nears_ref, meta_k, ids_k = map(
+            np.asarray, (meta_ref, ids_ref, nears_ref, meta_k, ids_k))
+        np.testing.assert_array_equal(meta_ref, meta_k)
+        for b in range(meta_ref.shape[0]):
+            trip = meta_ref[b, 0]
+            if meta_ref[b, 1]:
+                continue  # overflow: both sweep all K in identity order
+            np.testing.assert_array_equal(
+                np.sort(ids_ref[b, :trip]), np.sort(ids_k[b, :trip]))
+            assert (np.diff(nears_ref[b, :trip]) >= 0).all()
