@@ -348,8 +348,11 @@ def bench_sponza_scale(xres=1280, yres=720, spp=1, depth=3,
     )
     stream = ca.K * ca.M * PACK_W * 4 > RESIDENT_BUDGET_BYTES
     assert stream, "atrium must exceed the residency budget"
+    atlas_texels = int(scene.tex_data.shape[0])
+    assert atlas_texels > 10_000_000, "atrium must carry a sponza-class atlas"
     log(f"[sponza_scale] {scene.n_tris} tris, K={ca.K} KS={ca.KS}, "
-        f"packed {ca.K * ca.M * PACK_W * 4 / 2**20:.0f} MB (streaming)")
+        f"packed {ca.K * ca.M * PACK_W * 4 / 2**20:.0f} MB (streaming), "
+        f"atlas {atlas_texels / 1e6:.1f} M texels")
 
     cam = ATRIUM_CAMERA
 
@@ -380,6 +383,7 @@ def bench_sponza_scale(xres=1280, yres=720, spp=1, depth=3,
     jax.block_until_ready(stats)
     out = {"compile_s": time.perf_counter() - t0, "n_tris": int(scene.n_tris),
            "K": int(ca.K), "KS": int(ca.KS), "stream": True,
+           "atlas_texels": atlas_texels,
            "spp": spp, "depth": depth, "res": [xres, yres]}
     log(f"[sponza_scale/stream+hier] compile+first run: {out['compile_s']:.2f}s")
     times = []

@@ -145,7 +145,14 @@ def build_scene_arrays(
                 m.texture_bump,
             ):
                 if p and p not in textures:
-                    textures[p] = load_texture(p)
+                    if p.startswith("proc:"):
+                        # synthetic scenes carry procedural texture paths
+                        # (scene/synthetic.py) instead of files on disk
+                        from chiaroscuro_tpu.scene.synthetic import proc_texture
+
+                        textures[p] = proc_texture(p)
+                    else:
+                        textures[p] = load_texture(p)
 
     # Texture table: dedup by path, pack into a flat texel buffer.
     tex_paths: List[str] = []
