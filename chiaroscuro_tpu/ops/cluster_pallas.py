@@ -714,7 +714,7 @@ def _any_call(meta, ids, nears, o3, d3, tmax, excl, packed, M, Le, stream,
 def make_cluster_intersectors(
     scene: SceneArrays,
     M: int = 128,
-    Lmax: int = 128,
+    Lmax: int | None = None,
     interpret: bool | None = None,
     clusters: ClusterArrays | None = None,
     stream: bool | None = None,
@@ -758,6 +758,13 @@ def make_cluster_intersectors(
         )
     M = clusters.M
     K = clusters.K
+    if Lmax is None:
+        # Candidate-list width: a large list is nearly free at run time (the
+        # near-ordered kernels early-exit, memory is (B0, Le)) while a small
+        # one forces overflow-to-full-K sweeps — the round-3 sponza cliff.
+        # Measured on the 480k atrium (K=3,760): Le=128 overflowed 97% of
+        # sorted bounce rows, Le=512 1.4% (docs/ROOFLINE.md sponza section).
+        Lmax = 512
     Le = min(Lmax, K)
     T = scene.tri_v0.shape[0]
     if T >= int(ID_SENTINEL):
@@ -765,12 +772,17 @@ def make_cluster_intersectors(
     if stream is None:
         stream = K * M * PACK_W * 4 > RESIDENT_BUDGET_BYTES
     if hier is None:
-        # Break-even: the hier path pays KS + min(Lsup, KS)*G slab tests per
-        # row (level 2 runs its Lse scan steps unconditionally) vs the flat
-        # path's K, so it only wins when K comfortably exceeds Lsup*G
-        # (advisor round-3 finding: the old K >= 4*G gate put nanosuit-class
-        # scenes, K ~ 150, on the strictly-slower path).
-        hier = clusters.super_min is not None and K > 2 * Lsup * clusters.G
+        # The hier cull pays KS + min(Lsup, KS)*G slab tests per row (level
+        # 2 runs its Lse scan steps unconditionally) vs the flat path's K —
+        # AND any row that hits > Lsup supers overflows to a full-K sweep
+        # in the kernel, which costs far more than the cull saves.  Measured
+        # on the 480k atrium (K=3,760, KS=235): sorted bounce rows hit too
+        # many supers for any Lsup << KS (Lsup=96 left 25% of rows
+        # overflowing vs 1.4% for the flat cull at Le=512), so the flat
+        # sweep + wide lists wins up to at least K ~ 4k.  Reserve the
+        # two-level cull for scales where the flat sweep itself would
+        # dominate a frame (K >> 10k, i.e. multi-M-triangle scenes).
+        hier = clusters.super_min is not None and K > 16384
     if hier and clusters.super_min is None:
         raise ValueError(
             "clusters lack supercluster boxes; rebuild with build_clusters"

@@ -37,11 +37,14 @@ def main(target_tris: int = 480_000, n_rays: int = 2048):
     assert packed_bytes > RESIDENT_BUDGET_BYTES, (
         "scene too small: streaming must auto-engage for this check")
 
-    # Pin the design-point configuration explicitly: stream + hier (auto
-    # selects the same at this scale, but a heuristic regression must fail
-    # loudly here, not silently test the flat cull).
+    # Pin the design-point configuration explicitly: stream + flat cull with
+    # the wide (Le=512) candidate lists (auto selects the same at this
+    # scale — hier is reserved for K >> 10k, see make_cluster_intersectors —
+    # but a heuristic regression must fail loudly here, not silently test
+    # some other configuration).
     closest_fn, any_fn = make_cluster_intersectors(
-        scene, clusters=ca, interpret=False, stream=True, hier=True)
+        scene, clusters=ca, interpret=False, stream=True, hier=False,
+        Lmax=512)
 
     rng = np.random.default_rng(11)
     lo, hi = np.asarray(scene.world_min), np.asarray(scene.world_max)
@@ -51,7 +54,7 @@ def main(target_tris: int = 480_000, n_rays: int = 2048):
     t0 = time.perf_counter()
     ch = closest_fn(o, d)
     jax.block_until_ready(ch.t)
-    print(f"[stream+hier] closest compiled+ran in {time.perf_counter()-t0:.1f}s")
+    print(f"[stream] closest compiled+ran in {time.perf_counter()-t0:.1f}s")
 
     t0 = time.perf_counter()
     oh, ot, otid, ou, ov = intersect_closest_bruteforce(
@@ -73,9 +76,9 @@ def main(target_tris: int = 480_000, n_rays: int = 2048):
     t0 = time.perf_counter()
     occ = any_fn(o, d, tmax, excl)
     jax.block_until_ready(occ)
-    print(f"[stream+hier] any compiled+ran in {time.perf_counter()-t0:.1f}s")
+    print(f"[stream] any compiled+ran in {time.perf_counter()-t0:.1f}s")
     np.testing.assert_array_equal(np.asarray(occ), oh)
-    print("atrium stream+hier == oracle: OK")
+    print("atrium stream == oracle: OK")
 
 
 if __name__ == "__main__":
