@@ -102,6 +102,25 @@ def _frame_fn(scene, cam, intersector, xres, yres, spp, depth):
     return frame
 
 
+def _sync(x):
+    """Hard device sync: block AND materialize one leaf on the host.
+
+    ``jax.block_until_ready`` alone has been observed to return early on
+    the experimental axon backend during tunnel hiccups (round 4: the same
+    100-spp fwd+bwd chunk "measured" 2 ms with the async barrier vs
+    1,973 ms with a host fetch — and round 3's headline 18.2 s cornell
+    fwd+bwd "regression" was at least partly this artifact), so every
+    timed region here ends with a real host read."""
+    import jax
+    import numpy as np
+
+    jax.block_until_ready(x)
+    leaves = jax.tree_util.tree_leaves(x)
+    if leaves:
+        np.asarray(leaves[0]).ravel()[:1]
+    return x
+
+
 def bench_forward(scene, cam, intersector, xres=512, yres=512, spp=16,
                   depth=3, iters=3, tag="cornell"):
     """Returns dict with useful/issued rays-per-sec + occupancy + ms."""
@@ -111,7 +130,7 @@ def bench_forward(scene, cam, intersector, xres=512, yres=512, spp=16,
     frame = _frame_fn(scene, cam, intersector, xres, yres, spp, depth)
     t0 = time.perf_counter()
     _, stats = frame(scene, jnp.int32(0))
-    jax.block_until_ready(stats)
+    _sync(stats)
     compile_s = time.perf_counter() - t0
     log(f"[{tag}/{intersector}] compile+first run: {compile_s:.2f}s")
 
@@ -119,7 +138,7 @@ def bench_forward(scene, cam, intersector, xres=512, yres=512, spp=16,
     for i in range(iters):
         t0 = time.perf_counter()
         _, stats = frame(scene, jnp.int32((i + 1) * spp))
-        jax.block_until_ready(stats)
+        _sync(stats)
         times.append(time.perf_counter() - t0)
     dt = min(times)
     useful = float(stats.sum())
@@ -177,14 +196,14 @@ def bench_500spp(scene, cam, intersector, xres=512, yres=512, depth=3,
     frame = _frame_fn(scene, cam, intersector, xres, yres, chunk, depth)
     t0 = time.perf_counter()
     img, _ = frame(scene, jnp.int32(0))
-    jax.block_until_ready(img)  # compile
+    _sync(img)  # compile
     out["forward_compile_s"] = time.perf_counter() - t0
     t0 = time.perf_counter()
     acc = None
     for i in range(n_chunks):
         img, _ = frame(scene, jnp.int32(i * chunk))
         acc = img if acc is None else acc + img
-    jax.block_until_ready(acc)
+    _sync(acc)
     out["forward_ms"] = (time.perf_counter() - t0) * 1e3
     log(f"[cornell/{intersector}] forward {xres}x{yres} @ {spp}spp: "
         f"{out['forward_ms']:.0f} ms")
@@ -205,7 +224,7 @@ def bench_500spp(scene, cam, intersector, xres=512, yres=512, depth=3,
         grad_fn = jax.jit(jax.value_and_grad(chunk_loss))
         t0 = time.perf_counter()
         l, g = grad_fn(params, scene, jnp.int32(0))
-        jax.block_until_ready(g)  # compile
+        _sync(g)  # compile
         out["fwdbwd_compile_s"] = time.perf_counter() - t0
         t0 = time.perf_counter()
         loss = 0.0
@@ -214,7 +233,7 @@ def bench_500spp(scene, cam, intersector, xres=512, yres=512, depth=3,
             l, g = grad_fn(params, scene, jnp.int32(i * chunk))
             loss = loss + l
             grads = g if grads is None else jax.tree.map(jnp.add, grads, g)
-        jax.block_until_ready(grads)
+        _sync(grads)
         out["fwdbwd_ms"] = (time.perf_counter() - t0) * 1e3
         log(f"[cornell/{intersector}] fwd+bwd {xres}x{yres} @ {spp}spp "
             f"(x{n_chunks} grad-accum, remat): {out['fwdbwd_ms']:.0f} ms "
@@ -300,13 +319,13 @@ def bench_nanosuit(intersector="cluster", xres=1024, yres=1024, spp=1,
         grad_fn = jax.jit(jax.value_and_grad(loss_fn))
         t0 = time.perf_counter()
         loss, grads = grad_fn(params, scene)
-        jax.block_until_ready(grads)
+        _sync(grads)
         fwd["fwdbwd_compile_s"] = time.perf_counter() - t0
         log(f"[nanosuit/{intersector}] fwd+bwd compile+first: "
             f"{fwd['fwdbwd_compile_s']:.2f}s")
         t0 = time.perf_counter()
         loss, grads = grad_fn(params, scene)
-        jax.block_until_ready(grads)
+        _sync(grads)
         fwd["fwdbwd_ms"] = (time.perf_counter() - t0) * 1e3
         log(f"[nanosuit/{intersector}] fwd+bwd {xres}x{yres} @ {spp}spp: "
             f"{fwd['fwdbwd_ms']:.0f} ms (loss={float(loss):.4f})")
@@ -380,7 +399,7 @@ def bench_sponza_scale(xres=1280, yres=720, spp=1, depth=3,
 
     t0 = time.perf_counter()
     _, stats = frame(scene, jnp.int32(0))
-    jax.block_until_ready(stats)
+    _sync(stats)
     out = {"compile_s": time.perf_counter() - t0, "n_tris": int(scene.n_tris),
            "K": int(ca.K), "KS": int(ca.KS), "stream": True,
            "atlas_texels": atlas_texels,
@@ -390,7 +409,7 @@ def bench_sponza_scale(xres=1280, yres=720, spp=1, depth=3,
     for i in range(3):
         t0 = time.perf_counter()
         _, stats = frame(scene, jnp.int32((i + 1) * spp))
-        jax.block_until_ready(stats)
+        _sync(stats)
         times.append(time.perf_counter() - t0)
     dt = min(times)
     useful = float(stats.sum())
@@ -418,13 +437,13 @@ def bench_sponza_scale(xres=1280, yres=720, spp=1, depth=3,
         grad_fn = jax.jit(jax.value_and_grad(loss_fn))
         t0 = time.perf_counter()
         loss, grads = grad_fn(params, scene)
-        jax.block_until_ready(grads)
+        _sync(grads)
         out["fwdbwd_compile_s"] = time.perf_counter() - t0
         log(f"[sponza_scale] fwd+bwd compile+first: "
             f"{out['fwdbwd_compile_s']:.2f}s")
         t0 = time.perf_counter()
         loss, grads = grad_fn(params, scene)
-        jax.block_until_ready(grads)
+        _sync(grads)
         out["fwdbwd_ms"] = (time.perf_counter() - t0) * 1e3
         log(f"[sponza_scale] fwd+bwd {xres}x{yres} @ {spp}spp: "
             f"{out['fwdbwd_ms']:.0f} ms (loss={float(loss):.4f})")

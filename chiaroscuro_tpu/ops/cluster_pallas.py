@@ -87,6 +87,11 @@ VMEM_LIMIT_BYTES = 110 * 1024 * 1024
 # Above this packed-matrix size, switch to the HBM-streaming kernel.
 RESIDENT_BUDGET_BYTES = 72 * 1024 * 1024
 
+# Minimum cluster count for bounce compaction + spatial ray sorting to be
+# net-positive (see the measured table at the `prefers_compaction`
+# assignment in make_cluster_intersectors).
+COMPACT_MIN_K = 1024
+
 TILE_ROWS = 8  # Mosaic block constraint: sublane block dims divisible by 8
 
 
@@ -968,15 +973,21 @@ def make_cluster_intersectors(
         any_fn.planar_fn = any_planar
         closest_fn.bind_scene = bind_scene
         any_fn.bind_scene = bind_scene
-        # Bounce compaction frees whole dead rows (trip=0 in the cull),
-        # which is real work here — the renderer reads this preference
-        # (measured ~+8% whole-frame on nanosuit; integrator docstring).
-        closest_fn.prefers_compaction = True
+        # Bounce compaction + spatial ray sorting are only net-positive at
+        # scale: the per-bounce 16-payload lax.sort costs ~60 ms/bounce at
+        # 1 M lanes AND ~170 s of XLA compile, which the tight row unions
+        # repay only when K is large enough for cull-list overflow to
+        # matter.  Measured (v5e, tools/_tpu_r4_nanoprof.py): nanosuit
+        # (K=149) frame 286 ms / 9.5 s compile without compaction vs
+        # 472 ms / 178 s with; the 480k atrium (K=3,760) goes the other
+        # way by an order of magnitude (50 s -> 3 s, ROOFLINE.md sponza
+        # section).  The renderer reads these preferences per intersector.
+        closest_fn.prefers_compaction = K >= COMPACT_MIN_K
         # The cull quantizes divergence to 128-lane rows: spatially sorting
         # bounce rays (integrator compaction key) keeps row unions tight,
         # which is what keeps trips small in enclosed scenes (ROOFLINE.md
         # sponza section).
-        closest_fn.prefers_ray_sort = True
+        closest_fn.prefers_ray_sort = K >= COMPACT_MIN_K
         return closest_fn, any_fn
 
     def bind_scene(s):

@@ -32,6 +32,8 @@ drives the brute-force oracle, the BVH traversal, and the Pallas kernels.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -59,6 +61,14 @@ EPS_OFFSET = np.float32(1.0e-3)  # rayTracer.cpp:104,130
 # multiple of 1024 (the dense kernels' 8-row tile) so freed rows align with
 # skippable tiles.  Tuned on v5e/nanosuit (tools/_tpu_compact_bench.py).
 COMPACT_SEG_LANES = 4096
+
+# Move compaction/shadow-sort state with (key, index)-sort + gathers instead
+# of one variadic payload sort.  Bitwise-identical output either way (both
+# apply the same stable permutation); this is a lowering/runtime trade only
+# — see docs/ROOFLINE.md "Compaction/sort is a scale-gated trade".
+_COMPACT_VIA_GATHER = os.environ.get(
+    "CHIAROSCURO_COMPACT_GATHER", "0"
+) not in ("0", "", "false")
 
 
 def _dot(a, b):
@@ -339,6 +349,19 @@ def trace_paths_planar(
             | _morton_cell(o)                   # harmless for correctness
         )
         lane_id = jnp.arange(R_flat, dtype=jnp.int32)
+        if _COMPACT_VIA_GATHER:
+            _, sp = jax.lax.sort(
+                (key.reshape(-1), lane_id), num_keys=1, is_stable=True
+            )
+            _, inv = jax.lax.sort((sp, lane_id), num_keys=1, is_stable=True)
+
+            def g(x):
+                return x.reshape(-1)[sp].reshape(B)
+
+            o_s = jnp.stack([g(o[0]), g(o[1]), g(o[2])])
+            d_s = jnp.stack([g(d[0]), g(d[1]), g(d[2])])
+            occ_s = any_planar(o_s, d_s, g(tmax), g(excl))
+            return occ_s.reshape(-1)[inv].reshape(B)
         outs = jax.lax.sort(
             (key.reshape(-1),
              o[0].reshape(-1), o[1].reshape(-1), o[2].reshape(-1),
@@ -398,20 +421,51 @@ def trace_paths_planar(
             def s2(x):
                 return x.reshape(n_seg, seg)
 
-            payl = (
-                s2(origin[0]), s2(origin[1]), s2(origin[2]),
-                s2(direction[0]), s2(direction[1]), s2(direction[2]),
-                s2(throughput[0]), s2(throughput[1]), s2(throughput[2]),
-                s2(radiance[0]), s2(radiance[1]), s2(radiance[2]),
-                s2(active), s2(ck0), s2(ck1), s2(perm),
-            )
-            outs = jax.lax.sort((key,) + payl, num_keys=1, is_stable=True)[1:]
-            outs = [o.reshape(B) for o in outs]
-            origin = jnp.stack(outs[0:3])
-            direction = jnp.stack(outs[3:6])
-            throughput = jnp.stack(outs[6:9])
-            radiance = jnp.stack(outs[9:12])
-            active, ck0, ck1, perm = outs[12:16]
+            if _COMPACT_VIA_GATHER:
+                # Sort only (key, source-index); move the 16 state arrays
+                # with gathers.  Each element moves once instead of riding
+                # every compare-exchange pass of a 17-operand variadic
+                # sort — and the sort *lowering* (not just its runtime) is
+                # what costs O(100 s) of XLA compile inside the remat'd
+                # sample scan (ROOFLINE.md compaction section).
+                iota = jnp.broadcast_to(
+                    jnp.arange(seg, dtype=jnp.int32)[None], (n_seg, seg)
+                )
+                _, sp = jax.lax.sort((key, iota), num_keys=1, is_stable=True)
+
+                def g(x):
+                    return jnp.take_along_axis(s2(x), sp, axis=1).reshape(B)
+
+                origin = jnp.stack([g(origin[0]), g(origin[1]), g(origin[2])])
+                direction = jnp.stack(
+                    [g(direction[0]), g(direction[1]), g(direction[2])]
+                )
+                throughput = jnp.stack(
+                    [g(throughput[0]), g(throughput[1]), g(throughput[2])]
+                )
+                radiance = jnp.stack(
+                    [g(radiance[0]), g(radiance[1]), g(radiance[2])]
+                )
+                active, ck0, ck1, perm = (
+                    g(active), g(ck0), g(ck1), g(perm)
+                )
+            else:
+                payl = (
+                    s2(origin[0]), s2(origin[1]), s2(origin[2]),
+                    s2(direction[0]), s2(direction[1]), s2(direction[2]),
+                    s2(throughput[0]), s2(throughput[1]), s2(throughput[2]),
+                    s2(radiance[0]), s2(radiance[1]), s2(radiance[2]),
+                    s2(active), s2(ck0), s2(ck1), s2(perm),
+                )
+                outs = jax.lax.sort(
+                    (key,) + payl, num_keys=1, is_stable=True
+                )[1:]
+                outs = [o.reshape(B) for o in outs]
+                origin = jnp.stack(outs[0:3])
+                direction = jnp.stack(outs[3:6])
+                throughput = jnp.stack(outs[6:9])
+                radiance = jnp.stack(outs[9:12])
+                active, ck0, ck1, perm = outs[12:16]
 
         # Closest-hit + hit resolution (rayTracer.cpp:148-166).  Planar-native
         # intersectors (Pallas) return everything already in (.., B0, 128)

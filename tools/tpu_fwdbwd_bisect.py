@@ -52,13 +52,13 @@ def run(variant, spp=100, xres=512, yres=512, depth=3):
     grad_fn = jax.jit(jax.value_and_grad(loss))
     t0 = time.perf_counter()
     l, g = grad_fn(params, scene, jnp.int32(0))
-    jax.block_until_ready(g)
+    jax.block_until_ready((l, g))
     compile_s = time.perf_counter() - t0
     best = float("inf")
     for i in range(2):
         t0 = time.perf_counter()
         l, g = grad_fn(params, scene, jnp.int32((i + 1) * spp))
-        jax.block_until_ready(g)
+        jax.block_until_ready((l, g))
         best = min(best, time.perf_counter() - t0)
     print(f"[{variant}] fwdbwd {spp}spp: {best * 1e3:.0f} ms "
           f"(compile {compile_s:.1f}s, loss={float(l):.4f})", flush=True)
