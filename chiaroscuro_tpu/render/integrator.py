@@ -62,12 +62,16 @@ EPS_OFFSET = np.float32(1.0e-3)  # rayTracer.cpp:104,130
 # skippable tiles.  Tuned on v5e/nanosuit (tools/_tpu_compact_bench.py).
 COMPACT_SEG_LANES = 4096
 
-# Move compaction/shadow-sort state with (key, index)-sort + gathers instead
-# of one variadic payload sort.  Bitwise-identical output either way (both
-# apply the same stable permutation); this is a lowering/runtime trade only
-# — see docs/ROOFLINE.md "Compaction/sort is a scale-gated trade".
+# Move compaction/shadow-sort state with a (key, index)-sort + ONE stacked
+# (16, R) gather instead of a 17-operand variadic payload sort.  Bitwise-
+# identical output either way (both apply the same stable permutation).
+# Measured on the 480k atrium @ 720p (v5e): payload sort 3.09 s/frame +
+# 155 s compile; per-array gathers 3.85 s + 40 s; stacked gather
+# 2.95 s + 39 s — the contiguous (16, 1) columns amortize the gather to
+# 64 B/index AND skip the variadic-sort lowering that dominates compile
+# (docs/ROOFLINE.md compaction section).  Env escape hatch for A/B.
 _COMPACT_VIA_GATHER = os.environ.get(
-    "CHIAROSCURO_COMPACT_GATHER", "0"
+    "CHIAROSCURO_COMPACT_GATHER", "1"
 ) not in ("0", "", "false")
 
 
@@ -354,13 +358,21 @@ def trace_paths_planar(
                 (key.reshape(-1), lane_id), num_keys=1, is_stable=True
             )
             _, inv = jax.lax.sort((sp, lane_id), num_keys=1, is_stable=True)
+            sm = jnp.stack([
+                o[0].reshape(-1), o[1].reshape(-1), o[2].reshape(-1),
+                d[0].reshape(-1), d[1].reshape(-1), d[2].reshape(-1),
+                tmax.reshape(-1),
+                excl.reshape(-1).view(jnp.float32),   # bit-ride, see bounce
+            ])[:, sp]                                 # one (8, 1) gather
 
-            def g(x):
-                return x.reshape(-1)[sp].reshape(B)
+            def row(i):
+                return sm[i].reshape(B)
 
-            o_s = jnp.stack([g(o[0]), g(o[1]), g(o[2])])
-            d_s = jnp.stack([g(d[0]), g(d[1]), g(d[2])])
-            occ_s = any_planar(o_s, d_s, g(tmax), g(excl))
+            occ_s = any_planar(
+                jnp.stack([row(0), row(1), row(2)]),
+                jnp.stack([row(3), row(4), row(5)]),
+                row(6), row(7).view(jnp.int32),
+            )
             return occ_s.reshape(-1)[inv].reshape(B)
         outs = jax.lax.sort(
             (key.reshape(-1),
@@ -423,32 +435,50 @@ def trace_paths_planar(
 
             if _COMPACT_VIA_GATHER:
                 # Sort only (key, source-index); move the 16 state arrays
-                # with gathers.  Each element moves once instead of riding
-                # every compare-exchange pass of a 17-operand variadic
-                # sort — and the sort *lowering* (not just its runtime) is
-                # what costs O(100 s) of XLA compile inside the remat'd
-                # sample scan (ROOFLINE.md compaction section).
+                # with ONE stacked gather.  Each element moves once instead
+                # of riding every compare-exchange pass of a 17-operand
+                # variadic sort — the sort *lowering* (not just its
+                # runtime) is what costs O(100 s) of XLA compile inside the
+                # remat'd sample scan — and stacking makes the gather move
+                # contiguous (16, 1) columns (64 B/index) instead of 16
+                # scattered 4 B reads (ROOFLINE.md compaction section).
                 iota = jnp.broadcast_to(
                     jnp.arange(seg, dtype=jnp.int32)[None], (n_seg, seg)
                 )
                 _, sp = jax.lax.sort((key, iota), num_keys=1, is_stable=True)
+                spg = (
+                    sp + jnp.arange(n_seg, dtype=jnp.int32)[:, None] * seg
+                ).reshape(-1)
+                def fview(x):
+                    # bit-preserving ride-along for 32-bit int payloads:
+                    # the gather only moves bytes, never does arithmetic
+                    return x.reshape(-1).view(jnp.float32)
 
-                def g(x):
-                    return jnp.take_along_axis(s2(x), sp, axis=1).reshape(B)
+                sm = jnp.stack([
+                    origin[0].reshape(-1), origin[1].reshape(-1),
+                    origin[2].reshape(-1),
+                    direction[0].reshape(-1), direction[1].reshape(-1),
+                    direction[2].reshape(-1),
+                    throughput[0].reshape(-1), throughput[1].reshape(-1),
+                    throughput[2].reshape(-1),
+                    radiance[0].reshape(-1), radiance[1].reshape(-1),
+                    radiance[2].reshape(-1),
+                    active.astype(jnp.float32).reshape(-1),   # exact 0/1
+                    fview(ck0), fview(ck1), fview(perm),
+                ])                                       # (16, R_flat)
+                sm = sm[:, spg]
 
-                origin = jnp.stack([g(origin[0]), g(origin[1]), g(origin[2])])
-                direction = jnp.stack(
-                    [g(direction[0]), g(direction[1]), g(direction[2])]
-                )
-                throughput = jnp.stack(
-                    [g(throughput[0]), g(throughput[1]), g(throughput[2])]
-                )
-                radiance = jnp.stack(
-                    [g(radiance[0]), g(radiance[1]), g(radiance[2])]
-                )
-                active, ck0, ck1, perm = (
-                    g(active), g(ck0), g(ck1), g(perm)
-                )
+                def row(i):
+                    return sm[i].reshape(B)
+
+                origin = jnp.stack([row(0), row(1), row(2)])
+                direction = jnp.stack([row(3), row(4), row(5)])
+                throughput = jnp.stack([row(6), row(7), row(8)])
+                radiance = jnp.stack([row(9), row(10), row(11)])
+                active = row(12) > 0.5
+                ck0 = row(13).view(ck0.dtype)
+                ck1 = row(14).view(ck1.dtype)
+                perm = row(15).view(jnp.int32)
             else:
                 payl = (
                     s2(origin[0]), s2(origin[1]), s2(origin[2]),
