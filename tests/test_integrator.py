@@ -250,38 +250,96 @@ def test_sample_chunking_invariance(cornell_scene):
 def test_compaction_bitwise_identity(cornell_scene):
     """Bounce-ray compaction (integrator ``compact=True``) must be a pure
     lane permutation: per-pixel radiance bitwise-identical to the
-    uncompacted wavefront, on both the brute oracle and the Pallas path."""
-    from functools import partial
+    uncompacted wavefront, on both the brute oracle and the Pallas path.
 
-    import chiaroscuro_tpu.render.integrator as integrator
-    import chiaroscuro_tpu.render.renderer as renderer_mod
-
+    ``compact`` is forced through ``render_samples``' own parameter (the
+    previous ``partial(trace_paths_planar, compact=...)`` monkeypatch was
+    silently overridden by the call-site keyword — advisor r4 coverage
+    finding)."""
     cam = CORNELL_CAMERA
     ys, xs = np.meshgrid(
         np.arange(24, dtype=np.int32), np.arange(24, dtype=np.int32),
         indexing="ij",
     )
     px, py = xs.reshape(-1), ys.reshape(-1)
-    orig = integrator.trace_paths_planar
+    for method in ("brute", "pallas"):
+        cf, af = make_intersectors(cornell_scene, method)
+        outs = {}
+        for compact in (False, True):
+            outs[compact] = np.asarray(
+                render_samples(
+                    cornell_scene,
+                    np.asarray(cam["eye"], np.float32),
+                    np.asarray(cam["center"], np.float32),
+                    np.asarray(cam["up"], np.float32),
+                    float(cam["yview"]), 24, 24,
+                    px, py, np.int32(0), 4, np.uint32(3), 4,
+                    np.zeros(3, np.float32), cf, af, compact=compact,
+                )
+            )
+        np.testing.assert_array_equal(outs[False], outs[True]), method
+
+
+def test_spatial_sort_bitwise_identity_cluster():
+    """The cluster path's correctness-critical permutation machinery —
+    global spatial bounce sort + per-light shadow sort (_sorted_any) — must
+    leave radiance bitwise-identical to the unsorted wavefront.
+
+    ``COMPACT_MIN_K`` gates ``prefers_ray_sort`` off for every CI-sized
+    scene, so this new r4 code otherwise has zero CI coverage (advisor r4
+    medium finding); lower the gate so the multi-light atrium engages the
+    full sort pipeline, and run both ``_COMPACT_VIA_GATHER`` branches (the
+    int payloads bit-ride the gather as f32 — advisor r4 low finding)."""
+    import chiaroscuro_tpu.ops.cluster_pallas as cp
+    import chiaroscuro_tpu.render.integrator as integrator
+    from chiaroscuro_tpu.scene.synthetic import ATRIUM_CAMERA, atrium
+
+    scene = build_scene_arrays(atrium(2_200, seed=5))
+    assert scene.n_lights > 1  # _sorted_any's light-id key must matter
+    cam = ATRIUM_CAMERA
+    xres = yres = 16
+    ys, xs = np.meshgrid(np.arange(yres, dtype=np.int32),
+                         np.arange(xres, dtype=np.int32), indexing="ij")
+    px, py = xs.reshape(-1), ys.reshape(-1)
+    cf, af = make_intersectors(scene, "cluster")
+
+    def render(compact):
+        return np.asarray(
+            render_samples(
+                scene,
+                np.asarray(cam["eye"], np.float32),
+                np.asarray(cam["center"], np.float32),
+                np.asarray(cam["up"], np.float32), float(cam["yview"]),
+                xres, yres, px, py, np.int32(0), 2, np.uint32(7), 3,
+                np.zeros(3, np.float32), cf, af, compact=compact,
+            )
+        )
+
+    baseline = render(compact=False)
+    assert np.isfinite(baseline).all() and baseline.mean() > 1e-4
+
+    orig_min_k = cp.COMPACT_MIN_K
+    orig_gather = integrator._COMPACT_VIA_GATHER
     try:
-        for method in ("brute", "pallas"):
-            cf, af = make_intersectors(cornell_scene, method)
-            outs = {}
-            for compact in (False, True):
-                renderer_mod.trace_paths_planar = partial(
-                    orig, compact=compact
+        # Gate the sorts ON for this tiny scene: render_samples re-binds the
+        # intersectors per trace, and _finalize re-reads COMPACT_MIN_K, so
+        # the forced preference reaches the post-bind closures too.
+        cp.COMPACT_MIN_K = 1
+        cfc, afc = make_intersectors(scene, "cluster")
+        assert cfc.prefers_compaction and cfc.prefers_ray_sort
+        for gather in (True, False):
+            integrator._COMPACT_VIA_GATHER = gather
+            sorted_out = np.asarray(
+                render_samples(
+                    scene,
+                    np.asarray(cam["eye"], np.float32),
+                    np.asarray(cam["center"], np.float32),
+                    np.asarray(cam["up"], np.float32), float(cam["yview"]),
+                    xres, yres, px, py, np.int32(0), 2, np.uint32(7), 3,
+                    np.zeros(3, np.float32), cfc, afc, compact=True,
                 )
-                outs[compact] = np.asarray(
-                    render_samples(
-                        cornell_scene,
-                        np.asarray(cam["eye"], np.float32),
-                        np.asarray(cam["center"], np.float32),
-                        np.asarray(cam["up"], np.float32),
-                        float(cam["yview"]), 24, 24,
-                        px, py, np.int32(0), 4, np.uint32(3), 4,
-                        np.zeros(3, np.float32), cf, af,
-                    )
-                )
-            np.testing.assert_array_equal(outs[False], outs[True]), method
+            )
+            np.testing.assert_array_equal(baseline, sorted_out), gather
     finally:
-        renderer_mod.trace_paths_planar = orig
+        cp.COMPACT_MIN_K = orig_min_k
+        integrator._COMPACT_VIA_GATHER = orig_gather

@@ -69,13 +69,29 @@ def test_atrium_is_textured():
     assert np.asarray(scene.uv0).max() > 2.0
 
 
-def test_atrium_streaming_hier_matches_oracle(rng):
-    """The full-scale atrium engages stream=True + hier=True on TPU; pin
-    that exact kernel configuration against the brute oracle here (small
-    scene, interpreter mode)."""
+import pytest
+
+
+@pytest.mark.parametrize(
+    "hier,Lmax",
+    [
+        # The full-scale atrium (K=3,760 < the hier gate of 16,384) ships
+        # stream=True + FLAT cull + wide Le=512 candidate lists on TPU
+        # (ops/cluster_pallas.py make_cluster_intersectors defaults); pin
+        # that production configuration against the oracle (advisor r4).
+        (False, 512),
+        # The two-level supercluster cull (engaged only for K > 16,384,
+        # i.e. multi-M-triangle scenes) stays oracle-pinned too.
+        (True, None),
+    ],
+)
+def test_atrium_streaming_hier_matches_oracle(rng, hier, Lmax):
+    """Streaming-kernel configs pinned against the brute oracle (small
+    scene, interpreter mode): both the shipped flat-cull config and the
+    forced supercluster (hier) cull."""
     scene = build_scene_arrays(atrium(2_200, seed=5), device_put=False)
     cf, af = make_cluster_intersectors(
-        scene, M=32, interpret=True, stream=True, hier=True,
+        scene, M=32, interpret=True, stream=True, hier=hier, Lmax=Lmax,
     )
     lo, hi = np.asarray(scene.world_min), np.asarray(scene.world_max)
     o = jnp.asarray(rng.uniform(lo, hi, (128, 3)), jnp.float32)
