@@ -586,54 +586,31 @@ def main():
     }))
 
 
-def _flag_history_regressions(extra, threshold=1.3):
-    """Diff this run's headline timings against the newest BENCH_r*.json and
-    flag >threshold-x slowdowns loudly (VERDICT r3: two ~2x fwd+bwd
-    regressions and a 10x compile regression shipped unremarked because
-    nothing compared bench history).  Findings land in
-    ``extra["regressions_vs_prev"]`` so they ride into BENCH_rN.json."""
-    import glob
-    import re
+def _flag_history_regressions(extra):
+    """Drift guard (utils/benchguard.py): compare every watched
+    (config, metric) against the best ever recorded across all
+    BENCH_r*.json at 1.15x (VERDICT r4: the per-prev-round 1.3x check had a
+    multi-round blind spot), track compile_s, label cross-epoch
+    comparisons (async-timed rounds <= 3 vs hard-synced >= 4), and check
+    the compile-time budgets.  Findings ride into BENCH_rN.json under
+    ``regressions_vs_best`` / ``regressions_vs_prev`` / ``compile_budget``."""
+    # Loaded by file path: the orchestrator never imports jax, and importing
+    # the chiaroscuro_tpu package (whose __init__ pulls scene modules) would.
+    import importlib.util
 
-    runs = sorted(
-        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    bg_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "chiaroscuro_tpu", "utils", "benchguard.py")
+    spec = importlib.util.spec_from_file_location("_benchguard", bg_path)
+    benchguard = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(benchguard)
+
+    history = benchguard.load_history(
+        os.path.dirname(os.path.abspath(__file__))
     )
-    if not runs:
-        return
-    try:
-        with open(runs[-1]) as f:
-            prev = json.load(f).get("parsed", {}).get("extra", {})
-    except (ValueError, OSError) as e:
-        log(f"bench-history check skipped ({e})")
-        return
-
-    watch = [  # (config key, metric key, lower-is-better)
-        ("cornell_16spp", "ms"), ("cornell_16spp", "compile_s"),
-        ("cornell_500spp", "forward_ms"), ("cornell_500spp", "fwdbwd_ms"),
-        ("nanosuit_cluster", "ms"), ("nanosuit_cluster", "fwdbwd_ms"),
-        ("nanosuit_cluster", "compile_s"),
-        ("sponza_scale", "ms"), ("sponza_scale", "fwdbwd_ms"),
-        ("sponza_scale", "compile_s"),
-    ]
-    found = []
-    for cfg_key, m in watch:
-        old = (prev.get(cfg_key) or {}).get(m)
-        new = (extra.get(cfg_key) or {}).get(m)
-        if old and new and new > threshold * old:
-            found.append({
-                "config": cfg_key, "metric": m,
-                "prev": old, "now": new, "ratio": new / old,
-                "prev_file": os.path.basename(runs[-1]),
-            })
-            log(f"REGRESSION vs {os.path.basename(runs[-1])}: "
-                f"{cfg_key}.{m} {old:.1f} -> {new:.1f} "
-                f"({new / old:.2f}x slower)")
-    extra["regressions_vs_prev"] = found
-    if not found:
-        log(f"bench-history check vs {os.path.basename(runs[-1])}: "
-            f"no >{threshold}x slowdowns")
+    findings = benchguard.flag_regressions(extra, history)
+    extra.update(findings)
+    for line in benchguard.format_findings(findings):
+        log(line)
 
 
 if __name__ == "__main__":
