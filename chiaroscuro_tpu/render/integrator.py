@@ -272,6 +272,19 @@ def trace_paths_planar(
     spatial_sort = compact and bool(
         getattr(closest_fn, "prefers_ray_sort", False)
     )
+    if spatial_sort and scene.n_lights > 1024:
+        # _sorted_any's sort key carries the light id in 10 bits; beyond
+        # 1024 lights ids alias and the 15.6x shadow-sort win degrades
+        # (correctness holds — the key is ordering-only metadata).
+        import warnings
+
+        warnings.warn(
+            f"scene has {scene.n_lights} area lights > 1024: the NEE "
+            "shadow-sort key clamps light ids at 1024, so shadow rays for "
+            "lights beyond that share a sort bucket and the per-light "
+            "row-coherence win degrades (results stay exact).",
+            RuntimeWarning, stacklevel=2,
+        )
     if spatial_sort:
         # One global sort: the spatial key keeps rows coherent everywhere.
         seg, n_seg = R_flat, 1
