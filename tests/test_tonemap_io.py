@@ -132,3 +132,41 @@ def test_accumulation_state_roundtrip(tmp_path):
     assert st3.layers == 2
     st4 = resume_or_fresh(p, 4, 6, 16, ((9, 9, 9), (0, 0, 0), (0, 1, 0), 1.0), 7)
     assert st4.layers == 0
+
+
+# The reference ships 7 golden EXRs; their source scenes are mostly absent
+# from data/ (SURVEY.md C15), so pixel parity is only possible for cornell
+# (test_golden_parity.py).  What IS checkable for all seven — decode of the
+# reference's own PIZ-compressed artifacts, dimensions, and a write/re-read
+# round-trip through our EXR codec — is pinned here (VERDICT r4 ask #8);
+# docs/PARITY.md records the full comparability matrix.
+REFERENCE_GOLDEN_EXRS = {
+    "breakfast_room": (720, 720),
+    "conference": (1280, 720),
+    "cornell_box": (600, 600),
+    "nanobox": (800, 800),
+    "sponza": (800, 600),
+    "sponza_crytek": (1280, 720),
+    "sponza_crytek_10_samples": (400, 300),
+}
+
+
+def test_all_reference_golden_exrs_decode_and_roundtrip(
+    reference_renders_dir, tmp_path
+):
+    for name, (w, h) in REFERENCE_GOLDEN_EXRS.items():
+        img = read_exr(f"{reference_renders_dir}/{name}.exr")
+        assert img.shape == (h, w, 3), name
+        finite = np.isfinite(img)
+        # conference/sponza carry a few hot NaN pixels (reference renderer
+        # quirk, same family as cornell's); everything else is clean.
+        assert finite.mean() > 0.99, name
+        assert np.nanmax(img) > 0.0, name
+        # Round-trip through our writer (PIZ) at full float32.
+        p = str(tmp_path / f"{name}.exr")
+        clean = np.where(finite, img, 0.0).astype(np.float32)
+        write_exr(p, clean)
+        back = read_exr(p)
+        assert back.shape == clean.shape, name
+        np.testing.assert_allclose(back, clean, rtol=1e-3, atol=1e-5,
+                                   err_msg=name)
