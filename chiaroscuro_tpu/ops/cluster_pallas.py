@@ -8,8 +8,12 @@ rationale; the division of labor is:
   all K cluster boxes — dense elementwise VPU work, K-chunked so temporaries
   stay cache-sized — reduced to a per-row *compacted cluster id list* (ids
   of boxes any lane of the 128-ray row hits, ascending, via stable top_k)
-  plus a trip count.  Rows that hit more than ``Lmax`` clusters overflow to
-  a full sweep (trip = K, identity ids), so the result is always exact.
+  plus a trip count.  Rows that hit more than ``Lmax`` clusters keep their
+  ``Lmax`` *nearest* boxes plus a ``cutoff`` (entry bound of the first
+  excluded box); the kernel visits the prefix near-to-far and runs a
+  residual full-K sweep only while some lane's result could still be
+  beaten past the cutoff (:func:`_order_hits`), so the result is always
+  exact and overflow rows early-exit like everyone else.
 - **Pallas kernel**: grid over 8-row tiles; each row runs a dynamic-trip
   ``fori_loop`` whose body is the same (M x 128) Moller-Trumbore block as
   the dense kernel (``ops/intersect_pallas.py``), with per-hit shading
@@ -173,19 +177,36 @@ def _rowhit_scan(o3, inv, bmin, bmax, tmax=None, CK=32, with_near=False):
 
 def _order_hits(hits, cands, entry, K, Le):
     """Shared cull epilogue: (B0, C) hit mask + candidate ids + entry
-    distances -> near-ascending (meta, ids, nears) lists of width Le.
+    distances -> near-ascending (meta, ids, nears, cutoff) lists, width Le.
 
     Visit order near-to-far is what lets the kernels early-exit once every
     lane's best t undercuts the next box's entry (the TPU analog of the
     reference kd-tree's split-plane-ordered descent, src/kdtree.cpp:248-281).
-    Overflow rows (more than Le hits) fall back to the full identity-order
-    K sweep with early exit disabled (nears = -BIG), so results stay exact.
+
+    Overflow rows (more than Le hits) get a **two-phase** contract instead
+    of the old full-K unordered sweep: phase 1 visits the Le *nearest*
+    boxes near-to-far (trip = Le), and ``cutoff`` — the entry distance of
+    the first *excluded* box — tells the kernel whether the result is
+    already exact (every lane's best t < cutoff: no excluded box can
+    contain a closer hit, since a box's entry lower-bounds every
+    intersection t inside it) or whether a residual identity-order sweep
+    over all K boxes is needed (kernel phase 2; revisiting listed boxes is
+    idempotent, and the same cutoff condition lets phase 2 exit early —
+    the old overflow path could never exit).  Non-overflow rows carry
+    cutoff = +inf, which a miss sentinel (BIG) can never reach, so phase 2
+    never triggers for them.
     """
     B0 = hits.shape[0]
     count = jnp.sum(hits, axis=1).astype(jnp.int32)
     key = jnp.where(hits, entry, BIG)
     skey, sids = jax.lax.sort(
         (key, cands.astype(jnp.int32)), num_keys=1, is_stable=True
+    )
+    overflow = count > Le
+    # Entry bound of the nearest box NOT in the list (real whenever
+    # count > Le; BIG otherwise and unused).
+    excl_entry = skey[:, Le] if skey.shape[1] > Le else jnp.full(
+        (B0,), BIG, jnp.float32
     )
     if skey.shape[1] < Le:
         pad = Le - skey.shape[1]
@@ -196,11 +217,10 @@ def _order_hits(hits, cands, entry, K, Le):
     # Sentinel entries sit beyond trip and are never read by the kernel;
     # clamp them in-range anyway so a bug can't index out of bounds.
     ids = jnp.minimum(sids[:, :Le], jnp.int32(K - 1))
-    overflow = count > Le
-    trip = jnp.where(overflow, jnp.int32(K), count)
+    trip = jnp.where(overflow, jnp.int32(Le), count)
     meta = jnp.stack([trip, overflow.astype(jnp.int32)], axis=1)
-    nears = jnp.where(overflow[:, None], -BIG, skey[:, :Le])
-    return meta, ids, nears
+    cutoff = jnp.where(overflow, excl_entry, jnp.float32(np.inf))
+    return meta, ids, skey[:, :Le], cutoff[:, None]
 
 
 def _cull_rows(o3, d3, bmin, bmax, Lmax, tmax=None):
@@ -208,7 +228,8 @@ def _cull_rows(o3, d3, bmin, bmax, Lmax, tmax=None):
 
     o3, d3: (3, B0, 128) planar rays; bmin/bmax: (K, 3) boxes.  Returns
     (meta (B0, 2) i32 [trip, overflow], ids (B0, Le) i32 near-ascending,
-    nears (B0, Le) f32 entry-distance bounds), Le = min(Lmax, K).
+    nears (B0, Le) f32 entry-distance bounds, cutoff (B0, 1) f32 phase-2
+    trigger — see :func:`_order_hits`), Le = min(Lmax, K).
 
     Per-lane exactness note: a conservative interval-arithmetic variant —
     bounding each row's origins/directions and testing (B0, K) intervals —
@@ -309,13 +330,20 @@ def _cull_rows_hier(o3, d3, sup_min, sup_max, kid_min, kid_max, K, Lmax,
     Le = min(Lmax, K)
     # (Candidate ids are distinct by construction: top_k supers are
     # distinct, children within a super are distinct.)
-    meta, ids, nears = _order_hits(hits, cids, entry, K, Le)
-    count = jnp.sum(hits, axis=1).astype(jnp.int32)
-    overflow = sup_over | (count > Le)
-    trip = jnp.where(overflow, jnp.int32(K), count)
+    meta, ids, nears, cutoff = _order_hits(hits, cids, entry, K, Le)
+    # Supercluster-list overflow means the child enumeration itself is
+    # incomplete (unlike kid-level overflow, where every hit box was seen
+    # and the Le nearest are listed): the listed prefix carries no
+    # exactness guarantee, so skip phase 1 (trip = 0) and force the
+    # kernel's residual full-K sweep with cutoff = -BIG — no unvisited box
+    # has a known entry bound, so the closest sweep must run to completion
+    # (exactly the old overflow behavior; the any-kernel still exits when
+    # every lane occludes).
+    trip = jnp.where(sup_over, jnp.int32(0), meta[:, 0])
+    overflow = sup_over | (meta[:, 1] > 0)
     meta = jnp.stack([trip, overflow.astype(jnp.int32)], axis=1)
-    nears = jnp.where(overflow[:, None], -BIG, nears)
-    return meta, ids, nears
+    cutoff = jnp.where(sup_over[:, None], -BIG, cutoff)
+    return meta, ids, nears, cutoff
 
 
 # ---------------------------------------------------------------------------
@@ -402,37 +430,40 @@ def _row_rays(o_ref, d_ref, b):
     return o, d
 
 
-def _row_helpers(meta_ref, ids_ref, nears_ref, b, Le):
-    """Per-row id/near accessors shared by the visit kernels.
+def _row_helpers(meta_ref, ids_ref, nears_ref, cutoff_ref, b, Le):
+    """Per-row id/near/cutoff accessors shared by the visit kernels.
 
-    Overflow rows (trip = K) sweep clusters in identity order with the
-    early-exit bound disabled (near = -BIG, always "could improve").
-    Early-exit soundness for listed rows: ids arrive near-ascending and
-    ``nears[j]`` lower-bounds every lane's intersection t inside box j
-    (see :func:`_order_hits`), so once every lane's best t is below the
-    next box's near, no later box can improve any lane.
+    Phase 1 visits the trip (<= Le) listed boxes near-to-far; early-exit
+    soundness: ids arrive near-ascending and ``nears[j]`` lower-bounds
+    every lane's intersection t inside box j (see :func:`_order_hits`), so
+    once every lane's best t is below the next box's near, no later box
+    can improve any lane.  ``cutoff`` bounds everything *not* in the list:
+    after phase 1, a row is exact iff every lane's pending work (best t /
+    open tmax) sits below it; otherwise the kernel runs the residual
+    identity-order phase-2 sweep.
     """
     trip = meta_ref[b, 0]
-    overflow = meta_ref[b, 1]
+    cutoff = cutoff_ref[b, 0]
 
     def cid_of(j):
-        return jnp.where(overflow > 0, j, ids_ref[b, jnp.minimum(j, Le - 1)])
+        return ids_ref[b, jnp.minimum(j, Le - 1)]
 
     def near_of(j):
-        return jnp.where(
-            overflow > 0, -BIG, nears_ref[b, jnp.minimum(j, Le - 1)]
-        )
+        return nears_ref[b, jnp.minimum(j, Le - 1)]
 
-    return trip, cid_of, near_of
+    return trip, cutoff, cid_of, near_of
 
 
 def _closest_kernel(
-    meta_ref, ids_ref, nears_ref, o_ref, d_ref, pack_ref,
+    meta_ref, ids_ref, nears_ref, cutoff_ref, o_ref, d_ref, pack_ref,
     t_ref, id_ref, u_ref, v_ref, attr_out, *, M, Le,
 ):
+    NK = pack_ref.shape[0] // PACK_W          # static cluster count
+
     def row_body(b, _):
-        trip, cid_of, near_of = _row_helpers(meta_ref, ids_ref, nears_ref,
-                                             b, Le)
+        trip, cutoff, cid_of, near_of = _row_helpers(
+            meta_ref, ids_ref, nears_ref, cutoff_ref, b, Le
+        )
         o, d = _row_rays(o_ref, d_ref, b)
 
         def cond(state):
@@ -447,6 +478,22 @@ def _closest_kernel(
         _, carry = jax.lax.while_loop(
             cond, body, (jnp.int32(0), _closest_init())
         )
+
+        # Phase 2 (overflow rows only): identity-order residual sweep,
+        # entered/continued only while some lane's best t could still be
+        # beaten by an unlisted box (entry >= cutoff); revisits of listed
+        # boxes are idempotent under _closest_merge.  Non-overflow rows
+        # carry cutoff = +inf and never enter (miss sentinel BIG < inf).
+        def cond2(state):
+            j, carry = state
+            return (j < NK) & (jnp.max(carry[0]) >= cutoff)
+
+        def body2(state):
+            j, carry = state
+            chunk = pack_ref[pl.ds(j * PACK_W, PACK_W), :]
+            return j + 1, _closest_merge(carry, _visit_chunk(chunk, o, d))
+
+        _, carry = jax.lax.while_loop(cond2, body2, (jnp.int32(0), carry))
         _store_closest(b, carry, t_ref, id_ref, u_ref, v_ref, attr_out)
         return _
 
@@ -454,12 +501,15 @@ def _closest_kernel(
 
 
 def _any_kernel(
-    meta_ref, ids_ref, nears_ref, o_ref, d_ref, tmax_ref, excl_ref, pack_ref,
-    occ_ref, *, M, Le,
+    meta_ref, ids_ref, nears_ref, cutoff_ref, o_ref, d_ref, tmax_ref,
+    excl_ref, pack_ref, occ_ref, *, M, Le,
 ):
+    NK = pack_ref.shape[0] // PACK_W          # static cluster count
+
     def row_body(b, _):
-        trip, cid_of, near_of = _row_helpers(meta_ref, ids_ref, nears_ref,
-                                             b, Le)
+        trip, cutoff, cid_of, near_of = _row_helpers(
+            meta_ref, ids_ref, nears_ref, cutoff_ref, b, Le
+        )
         o, d = _row_rays(o_ref, d_ref, b)
         tmax = tmax_ref[pl.ds(b, 1), :]
         excl = excl_ref[pl.ds(b, 1), :]
@@ -487,6 +537,22 @@ def _any_kernel(
         _, occf = jax.lax.while_loop(
             cond, body, (jnp.int32(0), jnp.zeros((1, 128), jnp.float32))
         )
+
+        # Phase 2 (overflow rows): unlisted boxes all have entry >= cutoff,
+        # so only unoccluded lanes with tmax >= cutoff still need the
+        # identity-order residual sweep (see _closest_kernel).
+        def cond2(state):
+            j, occf = state
+            open_tmax = jnp.max(jnp.where(occf < 1.0, tmax, -BIG))
+            return (j < NK) & (jnp.min(occf) < 1.0) & (cutoff <= open_tmax)
+
+        def body2(state):
+            j, occf = state
+            chunk = pack_ref[pl.ds(j * PACK_W, PACK_W), :]
+            hit = _visit_chunk(chunk, o, d, tmax, excl)
+            return j + 1, jnp.maximum(occf, hit.astype(jnp.float32))
+
+        _, occf = jax.lax.while_loop(cond2, body2, (jnp.int32(0), occf))
         occ_ref[pl.ds(b, 1), :] = occf > 0.0
         return _
 
@@ -497,21 +563,27 @@ def _any_kernel(
 
 
 def _stream_closest_kernel(
-    meta_ref, ids_ref, nears_ref, o_ref, d_ref, pack_hbm,
+    meta_ref, ids_ref, nears_ref, cutoff_ref, o_ref, d_ref, pack_hbm,
     t_ref, id_ref, u_ref, v_ref, attr_out,
     scratch, sem, *, M, Le,
 ):
+    NK = pack_hbm.shape[0] // PACK_W          # static cluster count
+
     def row_body(b, acc):
-        trip, cid_of, near_of = _row_helpers(meta_ref, ids_ref, nears_ref,
-                                             b, Le)
+        trip, cutoff, cid_of, near_of = _row_helpers(
+            meta_ref, ids_ref, nears_ref, cutoff_ref, b, Le
+        )
         o, d = _row_rays(o_ref, d_ref, b)
 
-        def dma(slot, j):
+        def dma_to(slot, cid):
             return pltpu.make_async_copy(
-                pack_hbm.at[pl.ds(cid_of(j) * PACK_W, PACK_W), :],
+                pack_hbm.at[pl.ds(cid * PACK_W, PACK_W), :],
                 scratch.at[slot],
                 sem.at[slot],
             )
+
+        def dma(slot, j):
+            return dma_to(slot, cid_of(j))
 
         @pl.when(trip > 0)
         def _():
@@ -546,6 +618,38 @@ def _stream_closest_kernel(
         def _():
             dma(jax.lax.rem(j_exit, 2), j_exit).wait()
 
+        # Phase 2 (overflow rows; see _closest_kernel): identity-order
+        # residual sweep with the same double-buffered DMA discipline.
+        # `trigger` is captured before the sweep so kickoff and drain
+        # agree on whether any DMA was ever started.
+        trigger = jnp.max(carry[0]) >= cutoff
+
+        @pl.when(trigger)
+        def _():
+            dma_to(0, jnp.int32(0)).start()
+
+        def cond2(state):
+            j, carry = state
+            return (j < NK) & (jnp.max(carry[0]) >= cutoff)
+
+        def body2(state):
+            j, carry = state
+            slot = jax.lax.rem(j, 2)
+
+            @pl.when(j + 1 < NK)
+            def _():
+                dma_to(jax.lax.rem(j + 1, 2), j + 1).start()
+
+            dma_to(slot, j).wait()
+            chunk = scratch[slot]
+            return j + 1, _closest_merge(carry, _visit_chunk(chunk, o, d))
+
+        j2, carry = jax.lax.while_loop(cond2, body2, (jnp.int32(0), carry))
+
+        @pl.when(trigger & (j2 < NK))
+        def _():
+            dma_to(jax.lax.rem(j2, 2), j2).wait()
+
         _store_closest(b, carry, t_ref, id_ref, u_ref, v_ref, attr_out)
         return acc
 
@@ -553,22 +657,28 @@ def _stream_closest_kernel(
 
 
 def _stream_any_kernel(
-    meta_ref, ids_ref, nears_ref, o_ref, d_ref, tmax_ref, excl_ref, pack_hbm,
-    occ_ref, scratch, sem, *, M, Le,
+    meta_ref, ids_ref, nears_ref, cutoff_ref, o_ref, d_ref, tmax_ref,
+    excl_ref, pack_hbm, occ_ref, scratch, sem, *, M, Le,
 ):
+    NK = pack_hbm.shape[0] // PACK_W          # static cluster count
+
     def row_body(b, acc):
-        trip, cid_of, near_of = _row_helpers(meta_ref, ids_ref, nears_ref,
-                                             b, Le)
+        trip, cutoff, cid_of, near_of = _row_helpers(
+            meta_ref, ids_ref, nears_ref, cutoff_ref, b, Le
+        )
         o, d = _row_rays(o_ref, d_ref, b)
         tmax = tmax_ref[pl.ds(b, 1), :]
         excl = excl_ref[pl.ds(b, 1), :]
 
-        def dma(slot, j):
+        def dma_to(slot, cid):
             return pltpu.make_async_copy(
-                pack_hbm.at[pl.ds(cid_of(j) * PACK_W, PACK_W), :],
+                pack_hbm.at[pl.ds(cid * PACK_W, PACK_W), :],
                 scratch.at[slot],
                 sem.at[slot],
             )
+
+        def dma(slot, j):
+            return dma_to(slot, cid_of(j))
 
         @pl.when(trip > 0)
         def _():
@@ -606,6 +716,41 @@ def _stream_any_kernel(
         def _():
             dma(jax.lax.rem(j_exit, 2), j_exit).wait()
 
+        # Phase 2 (overflow rows; see _any_kernel): residual sweep only
+        # while some unoccluded lane's tmax reaches past the cutoff.
+        def unresolved(occf):
+            open_tmax = jnp.max(jnp.where(occf < 1.0, tmax, -BIG))
+            return (jnp.min(occf) < 1.0) & (cutoff <= open_tmax)
+
+        trigger = unresolved(occf)
+
+        @pl.when(trigger)
+        def _():
+            dma_to(0, jnp.int32(0)).start()
+
+        def cond2(state):
+            j, occf = state
+            return (j < NK) & unresolved(occf)
+
+        def body2(state):
+            j, occf = state
+            slot = jax.lax.rem(j, 2)
+
+            @pl.when(j + 1 < NK)
+            def _():
+                dma_to(jax.lax.rem(j + 1, 2), j + 1).start()
+
+            dma_to(slot, j).wait()
+            chunk = scratch[slot]
+            hit = _visit_chunk(chunk, o, d, tmax, excl)
+            return j + 1, jnp.maximum(occf, hit.astype(jnp.float32))
+
+        j2, occf = jax.lax.while_loop(cond2, body2, (jnp.int32(0), occf))
+
+        @pl.when(trigger & (j2 < NK))
+        def _():
+            dma_to(jax.lax.rem(j2, 2), j2).wait()
+
         occ_ref[pl.ds(b, 1), :] = occf > 0.0
         return acc
 
@@ -627,20 +772,23 @@ def _common_specs(Le):
     smem_nears = pl.BlockSpec(
         (TILE_ROWS, Le), lambda i: (i, 0), memory_space=pltpu.SMEM
     )
+    smem_cutoff = pl.BlockSpec(
+        (TILE_ROWS, 1), lambda i: (i, 0), memory_space=pltpu.SMEM
+    )
     ray = pl.BlockSpec(
         (3, TILE_ROWS, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
     row = pl.BlockSpec(
         (TILE_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    return smem_meta, smem_ids, smem_nears, ray, row
+    return smem_meta, smem_ids, smem_nears, smem_cutoff, ray, row
 
 
 @partial(jax.jit, static_argnames=("M", "Le", "stream", "interpret"))
-def _closest_call(meta, ids, nears, o3, d3, packed, M, Le, stream,
+def _closest_call(meta, ids, nears, cutoff, o3, d3, packed, M, Le, stream,
                   interpret=False):
     B0 = o3.shape[1]
-    smem_meta, smem_ids, smem_nears, ray, row = _common_specs(Le)
+    smem_meta, smem_ids, smem_nears, smem_cutoff, ray, row = _common_specs(Le)
     pack_spec = pl.BlockSpec(
         memory_space=pl.ANY if stream else pltpu.VMEM
     )
@@ -656,7 +804,8 @@ def _closest_call(meta, ids, nears, o3, d3, packed, M, Le, stream,
         partial(kernel, M=M, Le=Le),
         grid=(B0 // TILE_ROWS,),
         out_shape=out_shape,
-        in_specs=[smem_meta, smem_ids, smem_nears, ray, ray, pack_spec],
+        in_specs=[smem_meta, smem_ids, smem_nears, smem_cutoff, ray, ray,
+                  pack_spec],
         out_specs=[row] * 4
         + [
             pl.BlockSpec(
@@ -677,14 +826,14 @@ def _closest_call(meta, ids, nears, o3, d3, packed, M, Le, stream,
             vmem_limit_bytes=VMEM_LIMIT_BYTES
         ),
         interpret=interpret,
-    )(meta, ids, nears, o3, d3, packed)
+    )(meta, ids, nears, cutoff, o3, d3, packed)
 
 
 @partial(jax.jit, static_argnames=("M", "Le", "stream", "interpret"))
-def _any_call(meta, ids, nears, o3, d3, tmax, excl, packed, M, Le, stream,
-              interpret=False):
+def _any_call(meta, ids, nears, cutoff, o3, d3, tmax, excl, packed, M, Le,
+              stream, interpret=False):
     B0 = o3.shape[1]
-    smem_meta, smem_ids, smem_nears, ray, row = _common_specs(Le)
+    smem_meta, smem_ids, smem_nears, smem_cutoff, ray, row = _common_specs(Le)
     pack_spec = pl.BlockSpec(
         memory_space=pl.ANY if stream else pltpu.VMEM
     )
@@ -693,8 +842,8 @@ def _any_call(meta, ids, nears, o3, d3, tmax, excl, packed, M, Le, stream,
         partial(kernel, M=M, Le=Le),
         grid=(B0 // TILE_ROWS,),
         out_shape=jax.ShapeDtypeStruct((B0, 128), jnp.bool_),
-        in_specs=[smem_meta, smem_ids, smem_nears, ray, ray, row, row,
-                  pack_spec],
+        in_specs=[smem_meta, smem_ids, smem_nears, smem_cutoff, ray, ray,
+                  row, row, pack_spec],
         out_specs=row,
         scratch_shapes=(
             [
@@ -708,7 +857,7 @@ def _any_call(meta, ids, nears, o3, d3, tmax, excl, packed, M, Le, stream,
             vmem_limit_bytes=VMEM_LIMIT_BYTES
         ),
         interpret=interpret,
-    )(meta, ids, nears, o3, d3, tmax, excl, packed)
+    )(meta, ids, nears, cutoff, o3, d3, tmax, excl, packed)
 
 
 # ---------------------------------------------------------------------------
@@ -864,9 +1013,9 @@ def make_cluster_intersectors(
         B0 = o3.shape[1]
         o3p = _pad_planar_rows(o3, TILE_ROWS, 1)
         d3p = _pad_planar_rows(d3, TILE_ROWS, 1)
-        meta, ids, nears = cull(o3p, d3p)
+        meta, ids, nears, cutoff = cull(o3p, d3p)
         t, tid, u, v, am = _closest_call(
-            meta, ids, nears, o3p, d3p, packed, M, Le, stream,
+            meta, ids, nears, cutoff, o3p, d3p, packed, M, Le, stream,
             interpret=interpret,
         )
         return t[:B0], tid[:B0], u[:B0], v[:B0], am[:, :B0]
@@ -927,10 +1076,10 @@ def make_cluster_intersectors(
             excl = _pad_planar_rows(
                 excl.astype(jnp.float32), TILE_ROWS, 0
             )  # ids compared as exact floats in-kernel
-            meta, ids, nears = cull(o3, d3, tmax=tmax)
+            meta, ids, nears, cutoff = cull(o3, d3, tmax=tmax)
             occ = _any_call(
-                meta, ids, nears, o3, d3, tmax, excl, packed_sg, M, Le,
-                stream, interpret=interpret,
+                meta, ids, nears, cutoff, o3, d3, tmax, excl, packed_sg, M,
+                Le, stream, interpret=interpret,
             )
             return occ[:B0]
 

@@ -177,10 +177,10 @@ def test_hier_cull_matches_flat(rng, with_tmax):
         if with_tmax else None
     )
 
-    fm, fids, fnears = _cull_rows(
+    fm, fids, fnears, fcut = _cull_rows(
         o3, d3, ca.bbox_min, ca.bbox_max, K, tmax=tmax
     )
-    hm, hids, hnears = _cull_rows_hier(
+    hm, hids, hnears, hcut = _cull_rows_hier(
         o3, d3, ca.super_min, ca.super_max,
         kid_min.reshape(KS, G, 3), kid_max.reshape(KS, G, 3),
         K, K, Lsup=KS, tmax=tmax,
@@ -189,6 +189,8 @@ def test_hier_cull_matches_flat(rng, with_tmax):
         np.asarray, (fm, fids, fnears, hm, hids, hnears)
     )
     assert not fm[:, 1].any() and not hm[:, 1].any()  # Le=K: no overflow
+    # No overflow -> phase-2 cutoff disabled (inf) on both paths.
+    assert np.isinf(np.asarray(fcut)).all() and np.isinf(np.asarray(hcut)).all()
     np.testing.assert_array_equal(hm[:, 0], fm[:, 0])
     for b in range(fm.shape[0]):
         trip = fm[b, 0]
@@ -384,7 +386,7 @@ def test_cull_kernel_matches_xla_cull(cornell_scene, rng):
         rng.uniform(0.1, 3.0, (n,)).reshape(-1, 128), jnp.float32)
 
     for tm in (None, tmax):
-        meta_ref, ids_ref, nears_ref = _cull_rows(
+        meta_ref, ids_ref, nears_ref, _cut = _cull_rows(
             o3, d3, bmin, bmax, 128, tmax=tm)
         meta_k, ids_k = _cull_rows_kernelized(
             o3, d3, boxes, ca.K, 128, interpret=True, tmax=tm)
