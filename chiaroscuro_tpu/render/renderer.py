@@ -56,6 +56,7 @@ def render_samples(
     with_stats: bool = False,
     remat: bool = False,
     compact: Optional[bool] = None,
+    spp_batch: int = 1,
 ) -> jax.Array:
     """Mean radiance over samples [sample_start, sample_start+n_samples) for
     each pixel of the tile.  Returns (R, 3) float32.
@@ -63,6 +64,17 @@ def render_samples(
     Sample loop = ``lax.scan``; every sample's randomness is keyed on the
     global (pixel index, sample index) so the result is bitwise independent of
     tiling/sharding (see ``sampling/prng.py``).
+
+    ``spp_batch`` folds that many samples into ONE wavefront per scan step
+    (pixel tile replicated, per-lane sample indices) instead of scanning
+    them sequentially — for small scenes the per-bounce kernel launches and
+    integrator fixed costs dominate, and batching amortizes them across
+    samples (measured on cornell 512x512 @ 16 spp: the 16-step scan issues
+    96 intersection kernels of 2k rows; spp_batch=16 issues 6 of 32k rows).
+    Each (pixel, sample) pair keeps its exact PRNG stream, so the estimator
+    is unchanged; only the accumulation order differs (~ulp).  Ignored
+    unless it divides ``n_samples``.  Memory scales with spp_batch — keep
+    the wavefront at or under ~1 M lanes.
 
     With ``with_stats=True`` returns ``(img, stats)``, stats = (depth, 2) f32
     useful-query counts summed over samples (see
@@ -98,7 +110,17 @@ def render_samples(
     if pad:
         px = pix_xp.concatenate([px, px[:1].repeat(pad, 0)])
         py = pix_xp.concatenate([py, py[:1].repeat(pad, 0)])
-    B = ((R + pad) // 128, 128)
+    Rp = R + pad
+    SB = spp_batch if (spp_batch > 1 and n_samples % spp_batch == 0) else 1
+    if SB > 1:
+        # Replicate the tile SB times; replica r advances the sample index
+        # by r, so one wavefront carries SB consecutive samples per pixel.
+        px = pix_xp.concatenate([px] * SB)
+        py = pix_xp.concatenate([py] * SB)
+        rep = pix_xp.repeat(
+            pix_xp.arange(SB, dtype=np.int32), Rp
+        )
+    B = (Rp * SB // 128, 128)
     pixel_idx = (py * xres + px).reshape(B)
     pxf = px.astype(jnp.float32).reshape(B)
     pyf = py.astype(jnp.float32).reshape(B)
@@ -122,7 +144,8 @@ def render_samples(
 
     def one_sample(acc, s):
         acc_img, acc_stats = acc
-        k0, k1 = prng.base_key(seed, pixel_idx, s)
+        s_idx = (s + rep.reshape(B)) if SB > 1 else s
+        k0, k1 = prng.base_key(seed, pixel_idx, s_idx)
         jx, jy = prng.aa_jitter_pair(k0, k1)
         dirs = primary_ray_dirs_planar(left_upper, dx, dy, pxf, pyf, jx, jy)
         radiance, stats = trace_paths_planar(
@@ -137,11 +160,14 @@ def render_samples(
     )
     body = jax.checkpoint(one_sample, prevent_cse=False) if remat else one_sample
     (total, stats), _ = jax.lax.scan(
-        body, init, sample_start + jnp.arange(n_samples)
+        body, init, sample_start + jnp.arange(n_samples // SB) * SB
     )
     from chiaroscuro_tpu.geometry import planar as P
 
-    img = P.to_rows(total)[:R] * (1.0 / n_samples)
+    rows = P.to_rows(total)
+    if SB > 1:
+        rows = rows.reshape(SB, Rp, 3).sum(axis=0)
+    img = rows[:R] * (1.0 / n_samples)
     if with_stats:
         return img, stats
     return img

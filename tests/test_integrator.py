@@ -247,6 +247,48 @@ def test_sample_chunking_invariance(cornell_scene):
     np.testing.assert_allclose(full, chunked, rtol=1e-5, atol=1e-6)
 
 
+def test_spp_batch_equivalence(cornell_scene):
+    """spp_batch folds samples into one wide wavefront: every (pixel,
+    sample) PRNG stream is unchanged, so the mean image matches the
+    sequential scan to accumulation-order ulp, and the (exact-integer)
+    useful-work stats match bitwise."""
+    cam = CORNELL_CAMERA
+    ys, xs = np.meshgrid(
+        np.arange(16, dtype=np.int32), np.arange(16, dtype=np.int32),
+        indexing="ij",
+    )
+    px, py = xs.reshape(-1), ys.reshape(-1)
+    cf, af = make_intersectors(cornell_scene, "brute")
+
+    def render(spp_batch, sample_start=0):
+        return render_samples(
+            cornell_scene,
+            np.asarray(cam["eye"], np.float32),
+            np.asarray(cam["center"], np.float32),
+            np.asarray(cam["up"], np.float32), float(cam["yview"]),
+            16, 16, px, py, np.int32(sample_start), 8, np.uint32(3), 3,
+            np.zeros(3, np.float32), cf, af, with_stats=True,
+            spp_batch=spp_batch,
+        )
+
+    img1, st1 = render(1)
+    for sb in (2, 8):
+        imgb, stb = render(sb)
+        np.testing.assert_allclose(
+            np.asarray(imgb), np.asarray(img1), rtol=2e-5, atol=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(stb), np.asarray(st1))
+    # Non-dividing spp_batch silently degrades to sequential (bitwise).
+    img3, _ = render(3)
+    np.testing.assert_array_equal(np.asarray(img3), np.asarray(img1))
+    # sample_start offsets compose with batching (progressive layers).
+    imgo, _ = render(4, sample_start=8)
+    imgo1, _ = render(1, sample_start=8)
+    np.testing.assert_allclose(
+        np.asarray(imgo), np.asarray(imgo1), rtol=2e-5, atol=1e-6
+    )
+
+
 def test_compaction_bitwise_identity(cornell_scene):
     """Bounce-ray compaction (integrator ``compact=True``) must be a pure
     lane permutation: per-pixel radiance bitwise-identical to the
