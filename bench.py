@@ -66,8 +66,15 @@ def _cornell():
     return scene, CORNELL_CAMERA
 
 
-def _frame_fn(scene, cam, intersector, xres, yres, spp, depth):
-    """Jitted frame returning (flat_img, stats) for the full pixel grid."""
+def _frame_fn(scene, cam, intersector, xres, yres, spp, depth, spp_batch=1):
+    """Jitted frame returning (flat_img, stats) for the full pixel grid.
+
+    Frame-render path (scene unchanging): intersector buffers are derived
+    ONCE on device and passed as jit *arguments* (derive_buffers /
+    bind_buffers) — zero per-frame in-graph derivation (the r4 bind_scene
+    re-derive cost) and zero multi-MB MLIR constants (the r3 sponza
+    compile cliff).  The grad benches keep the traced bind_scene path
+    (buffers must follow the parameters there)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -91,12 +98,30 @@ def _frame_fn(scene, cam, intersector, xres, yres, spp, depth):
     center = np.asarray(cam["center"], np.float32)
     up = np.asarray(cam["up"], np.float32)
 
+    if hasattr(closest_fn, "derive_buffers"):
+        bufs = closest_fn.derive_buffers(scene)
+
+        @jax.jit
+        def frame_bufs(scene, bufs, sample_start):
+            cf, af = closest_fn.bind_buffers(bufs)
+            return render_samples(
+                scene, eye, center, up, float(cam["yview"]),
+                xres, yres, px, py, sample_start, spp, np.uint32(0), depth,
+                np.zeros(3, np.float32), cf, af, with_stats=True,
+                spp_batch=spp_batch,
+            )
+
+        return lambda scene, sample_start: frame_bufs(
+            scene, bufs, sample_start
+        )
+
     @jax.jit
     def frame(scene, sample_start):
         return render_samples(
             scene, eye, center, up, float(cam["yview"]),
             xres, yres, px, py, sample_start, spp, np.uint32(0), depth,
             np.zeros(3, np.float32), closest_fn, any_fn, with_stats=True,
+            spp_batch=spp_batch,
         )
 
     return frame
@@ -122,12 +147,13 @@ def _sync(x):
 
 
 def bench_forward(scene, cam, intersector, xres=512, yres=512, spp=16,
-                  depth=3, iters=3, tag="cornell"):
+                  depth=3, iters=3, tag="cornell", spp_batch=1):
     """Returns dict with useful/issued rays-per-sec + occupancy + ms."""
     import jax
     import jax.numpy as jnp
 
-    frame = _frame_fn(scene, cam, intersector, xres, yres, spp, depth)
+    frame = _frame_fn(scene, cam, intersector, xres, yres, spp, depth,
+                      spp_batch=spp_batch)
     t0 = time.perf_counter()
     _, stats = frame(scene, jnp.int32(0))
     _sync(stats)
@@ -388,14 +414,20 @@ def bench_sponza_scale(xres=1280, yres=720, spp=1, depth=3,
     center = np.asarray(cam["center"], np.float32)
     up = np.asarray(cam["up"], np.float32)
     closest_fn, any_fn = intersectors_of(scene)
+    # Buffers as jit arguments (see _frame_fn): derived once on device.
+    bufs = closest_fn.derive_buffers(scene)
 
     @jax.jit
-    def frame(scene, sample_start):
+    def frame_bufs(scene, bufs, sample_start):
+        cf, af = closest_fn.bind_buffers(bufs)
         return render_samples(
             scene, eye, center, up, float(cam["yview"]),
             xres, yres, px, py, sample_start, spp, np.uint32(0), depth,
-            np.zeros(3, np.float32), closest_fn, any_fn, with_stats=True,
+            np.zeros(3, np.float32), cf, af, with_stats=True,
         )
+
+    def frame(scene, sample_start):
+        return frame_bufs(scene, bufs, sample_start)
 
     t0 = time.perf_counter()
     _, stats = frame(scene, jnp.int32(0))
@@ -459,7 +491,10 @@ def worker(intersector: str) -> None:
     extra = {"backend": jax.default_backend(), "intersector": intersector}
     scene, cam = _cornell()
 
-    fwd = bench_forward(scene, cam, intersector)
+    # spp_batch=16: one 4.2 M-lane wavefront instead of 16 sequential
+    # 262 k-lane frames — amortizes per-bounce kernel-launch and integrator
+    # fixed costs on the small scene (render_samples docstring).
+    fwd = bench_forward(scene, cam, intersector, spp_batch=16)
     extra["cornell_16spp"] = fwd
 
     try:

@@ -1122,6 +1122,10 @@ def make_cluster_intersectors(
         any_fn.planar_fn = any_planar
         closest_fn.bind_scene = bind_scene
         any_fn.bind_scene = bind_scene
+        closest_fn.derive_buffers = derive_buffers
+        any_fn.derive_buffers = derive_buffers
+        closest_fn.bind_buffers = bind_buffers
+        any_fn.bind_buffers = bind_buffers
         # Bounce compaction + spatial ray sorting are only net-positive at
         # scale: the per-bounce 16-payload lax.sort costs ~60 ms/bounce at
         # 1 M lanes AND ~170 s of XLA compile, which the tight row unions
@@ -1145,5 +1149,25 @@ def make_cluster_intersectors(
         ``render_samples`` calls this with its scene argument once per
         frame, outside the sample/bounce scans."""
         return _finalize(*_make_planar_fns(*derive(s)))
+
+    def derive_buffers(s):
+        """(tri_orig, attrT_orig, packed) derived ONCE from a concrete
+        scene, device-resident — for callers that render many frames of an
+        unchanging scene and pass the buffers as jit *arguments* via
+        :func:`bind_buffers`: zero per-frame derivation (the bind_scene
+        path re-derives in-graph when the scene is a traced argument) and
+        zero multi-MB MLIR constants (the r3 sponza 237 s compile cliff).
+        NOT for differentiable paths — stale buffers under parameter
+        updates; use bind_scene with the traced scene there."""
+        return tuple(jax.device_put(b) for b in derive(s))
+
+    def bind_buffers(bufs):
+        """Intersector pair bound to precomputed (possibly traced-argument)
+        buffers from :func:`derive_buffers`.  The returned functions carry
+        ``bind_scene = None`` so render_samples does NOT re-derive."""
+        cf, af = _finalize(*_make_planar_fns(*bufs))
+        cf.bind_scene = None
+        af.bind_scene = None
+        return cf, af
 
     return bind_scene(scene)

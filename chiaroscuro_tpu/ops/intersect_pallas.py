@@ -604,6 +604,10 @@ def make_pallas_intersectors(
         any_fn.planar_fn = any_planar
         closest_fn.bind_scene = bind_scene
         any_fn.bind_scene = bind_scene
+        closest_fn.derive_buffers = derive_buffers
+        any_fn.derive_buffers = derive_buffers
+        closest_fn.bind_buffers = bind_buffers
+        any_fn.bind_buffers = bind_buffers
         # Planar fns accept a `live` (B0, 1) row-consumption hint
         # (integrator compaction): all-dead tiles skip their sweep.
         closest_fn.accepts_live = True
@@ -614,5 +618,17 @@ def make_pallas_intersectors(
         """Intersector pair re-derived from ``s`` (traced when ``s`` is
         traced); called by render_samples with its scene argument."""
         return _finalize(*_derive(s))
+
+    def derive_buffers(s):
+        """(tri_rows, attrT) derived once, device-resident — see the
+        cluster path's ``derive_buffers`` (ops/cluster_pallas.py) for the
+        pass-buffers-as-jit-arguments contract and its caveats."""
+        return tuple(jax.device_put(b) for b in _derive(s))
+
+    def bind_buffers(bufs):
+        cf, af = _finalize(*bufs)
+        cf.bind_scene = None
+        af.bind_scene = None
+        return cf, af
 
     return bind_scene(scene)

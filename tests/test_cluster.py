@@ -400,3 +400,47 @@ def test_cull_kernel_matches_xla_cull(cornell_scene, rng):
             np.testing.assert_array_equal(
                 np.sort(ids_ref[b, :trip]), np.sort(ids_k[b, :trip]))
             assert (np.diff(nears_ref[b, :trip]) >= 0).all()
+
+
+def test_bind_buffers_matches_bind_scene(rng):
+    """The pass-buffers-as-jit-arguments path (derive_buffers +
+    bind_buffers, used by multi-frame renderers/benches) must agree with
+    the default bind_scene derivation (to XLA const-vs-arg codegen ulp),
+    and render_samples must not re-derive through it (bind_scene is None
+    on the bound fns)."""
+    import jax
+
+    v0, v1, v2 = _random_soup(rng, 300)
+    scene = _soup_scene(v0, v1, v2)
+    cf, af = make_cluster_intersectors(scene, M=16, Lmax=8, interpret=True)
+    o, d = _rays(rng, 256, np.float32(-4.4), np.float32(4.4))
+
+    bufs = cf.derive_buffers(scene)
+    assert all(not isinstance(b, np.ndarray) for b in bufs)  # device-resident
+
+    @jax.jit
+    def via_buffers(bufs, o, d):
+        c2, a2 = cf.bind_buffers(bufs)
+        assert c2.bind_scene is None and a2.bind_scene is None
+        res = c2(o, d)
+        occ = a2(o, d, jnp.where(res.hit, res.t * 1.5, 1e9),
+                 jnp.full((256,), -1, jnp.int32))
+        return res.t, res.tid, res.hit, occ
+
+    t_b, tid_b, hit_b, occ_b = via_buffers(bufs, o, d)
+    res = cf(o, d)
+    occ = af(o, d, jnp.where(res.hit, res.t * 1.5, 1e9),
+             jnp.full((256,), -1, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(hit_b), np.asarray(res.hit))
+    hit = np.asarray(res.hit)
+    np.testing.assert_allclose(
+        np.asarray(t_b)[hit], np.asarray(res.t)[hit], rtol=1e-6
+    )
+    # Ulp t-differences can flip ties; ids must agree wherever t is not
+    # tie-close (same contract as the oracle comparison above).
+    same = np.asarray(tid_b)[hit] == np.asarray(res.tid)[hit]
+    ties = np.isclose(
+        np.asarray(t_b)[hit], np.asarray(res.t)[hit], rtol=1e-6
+    )
+    assert (same | ties).all()
+    np.testing.assert_array_equal(np.asarray(occ_b), np.asarray(occ))

@@ -56,6 +56,19 @@ def bench_frame(tag, scene, cam, intersector, xres, yres, spp, depth,
             )
 
         call = lambda s: frame(scene, jnp.int32(s))
+    elif variant == "bufarg":  # buffers derived once, passed as jit args
+        bufs = closest_fn.derive_buffers(scene)
+
+        @jax.jit
+        def frame(scene, bufs, sample_start):
+            cf, af = closest_fn.bind_buffers(bufs)
+            return render_samples(
+                scene, eye, center, up, float(cam["yview"]),
+                xres, yres, px, py, sample_start, spp, np.uint32(0), depth,
+                np.zeros(3, np.float32), cf, af, with_stats=True,
+            )
+
+        call = lambda s: frame(scene, bufs, jnp.int32(s))
     else:  # const: scene closed over -> host-constant buffers
         @jax.jit
         def frame(sample_start):
@@ -91,7 +104,7 @@ def cornell():
     from chiaroscuro_tpu.scene.scene_arrays import build_scene_arrays
 
     scene = build_scene_arrays(cornell_box())
-    for variant in ("arg", "const"):
+    for variant in ("arg", "const", "bufarg"):
         bench_frame("cornell 512x512@16spp", scene, CORNELL_CAMERA, "pallas",
                     512, 512, 16, 3, variant)
 
@@ -106,7 +119,7 @@ def nanosuit():
     cfg.obj_path = os.path.join("/root/reference", cfg.obj_path)
     scene = load_scene(cfg)
     cam = {"eye": cfg.vp, "center": cfg.la, "up": cfg.up, "yview": cfg.yview}
-    for variant in ("arg", "const"):
+    for variant in ("arg", "const", "bufarg"):
         bench_frame("nanosuit 1024x1024@1spp", scene, cam, "cluster",
                     1024, 1024, 1, 3, variant)
 
