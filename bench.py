@@ -484,6 +484,88 @@ def bench_sponza_scale(xres=1280, yres=720, spp=1, depth=3,
     return out
 
 
+def bench_atrium3m(xres=1280, yres=720, spp=1, depth=3,
+                   target_tris=3_000_000):
+    """Supercluster (hier) cull at its DESIGN point (VERDICT r4 ask #3):
+    ~3 M triangles -> K ~ 23k clusters, past the 16,384 hier gate, where
+    the flat cull's per-row K-wide slab sweep + K-wide sort should finally
+    lose to the two-level sweep.  Benches hier vs flat on the same scene
+    and records both — the gate either earns its keep here or the hier
+    path gets deleted."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from chiaroscuro_tpu.accel.clusters import build_clusters
+    from chiaroscuro_tpu.ops.cluster_pallas import (
+        PACK_W, make_cluster_intersectors,
+    )
+    from chiaroscuro_tpu.render.renderer import render_samples
+    from chiaroscuro_tpu.scene.scene_arrays import build_scene_arrays
+    from chiaroscuro_tpu.scene.synthetic import ATRIUM_CAMERA, atrium
+
+    scene = build_scene_arrays(atrium(target_tris))
+    ca = build_clusters(
+        np.asarray(scene.tri_v0), np.asarray(scene.tri_v1),
+        np.asarray(scene.tri_v2),
+    )
+    out = {"n_tris": int(scene.n_tris), "K": int(ca.K), "KS": int(ca.KS),
+           "packed_mb": ca.K * ca.M * PACK_W * 4 / 2**20,
+           "spp": spp, "depth": depth, "res": [xres, yres]}
+    assert ca.K > 16384, "atrium3m must engage the hier gate"
+    log(f"[atrium3m] {scene.n_tris} tris, K={ca.K} KS={ca.KS}, "
+        f"packed {out['packed_mb']:.0f} MB (streaming)")
+
+    cam = ATRIUM_CAMERA
+    ys, xs = np.meshgrid(np.arange(yres, dtype=np.int32),
+                         np.arange(xres, dtype=np.int32), indexing="ij")
+    px = xs.reshape(-1)
+    py = ys.reshape(-1)
+    eye = np.asarray(cam["eye"], np.float32)
+    center = np.asarray(cam["center"], np.float32)
+    up = np.asarray(cam["up"], np.float32)
+
+    for hier, tag in ((True, "hier"), (False, "flat")):
+        try:
+            cf, af = make_cluster_intersectors(
+                scene, clusters=ca, interpret=False, hier=hier,
+            )
+            bufs = cf.derive_buffers(scene)
+
+            @jax.jit
+            def frame_bufs(scene, bufs, sample_start):
+                c2, a2 = cf.bind_buffers(bufs)
+                return render_samples(
+                    scene, eye, center, up, float(cam["yview"]),
+                    xres, yres, px, py, sample_start, spp, np.uint32(0),
+                    depth, np.zeros(3, np.float32), c2, a2, with_stats=True,
+                )
+
+            t0 = time.perf_counter()
+            _, stats = frame_bufs(scene, bufs, jnp.int32(0))
+            _sync(stats)
+            out[f"compile_s_{tag}"] = time.perf_counter() - t0
+            times = []
+            for i in range(2):
+                t0 = time.perf_counter()
+                _, stats = frame_bufs(scene, bufs, jnp.int32((i + 1) * spp))
+                _sync(stats)
+                times.append(time.perf_counter() - t0)
+            dt = min(times)
+            useful = float(stats.sum())
+            out[f"ms_{tag}"] = dt * 1e3
+            out[f"useful_rays_per_sec_{tag}"] = useful / dt
+            log(f"[atrium3m/{tag}] {xres}x{yres} @ {spp}spp depth={depth}: "
+                f"{dt * 1e3:.0f} ms ({useful / dt / 1e6:.3g} M useful "
+                f"rays/s), compile {out[f'compile_s_{tag}']:.1f}s")
+        except Exception as e:
+            log(f"[atrium3m/{tag}] failed: {e}")
+    if "ms_hier" in out and "ms_flat" in out:
+        out["hier_wins"] = bool(out["ms_hier"] < out["ms_flat"])
+        out["ms"] = min(out["ms_hier"], out["ms_flat"])
+    return out
+
+
 def worker(intersector: str) -> None:
     import jax
 
@@ -517,6 +599,11 @@ def worker(intersector: str) -> None:
             extra["sponza_scale"] = bench_sponza_scale()
         except Exception as e:
             log(f"sponza_scale bench failed: {e}")
+        # Supercluster cull at its K > 16,384 design point (r5 ask #3).
+        try:
+            extra["atrium3m"] = bench_atrium3m()
+        except Exception as e:
+            log(f"atrium3m bench failed: {e}")
 
     print("EXTRA " + json.dumps(extra))
     print(json.dumps({"useful_rays_per_sec": fwd["useful_rays_per_sec"]}))
@@ -591,7 +678,7 @@ def main():
 
     result = None
     extra = {}
-    for intersector, budget in (("auto", 1800), ("brute", 900)):
+    for intersector, budget in (("auto", 2400), ("brute", 900)):
         log(f"bench attempt: intersector={intersector} budget={budget}s")
         result, extra_w = _run_worker(["--worker", intersector], budget)
         if result is not None:

@@ -45,6 +45,7 @@ WATCH: List[Tuple[str, str]] = [
     ("nanosuit_cluster", "compile_s"), ("nanosuit_cluster", "fwdbwd_compile_s"),
     ("sponza_scale", "ms"), ("sponza_scale", "fwdbwd_ms"),
     ("sponza_scale", "compile_s"), ("sponza_scale", "fwdbwd_compile_s"),
+    ("atrium3m", "ms"),
 ]
 
 # Compile-time budgets (seconds) — VERDICT r4 ask #6.  A budget miss is a
