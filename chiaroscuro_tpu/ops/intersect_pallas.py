@@ -442,13 +442,37 @@ def _closest_diff_fwd(live, o3, d3, tri_rows, attrT, chunk, interpret):
     return out, (live, o3, d3, tri_rows, attrT, tid, t < BIG)
 
 
+# Backward-recompute row fetch: XLA generic gather (default) or a one-hot
+# matmul on the MXU (the same trick the forward kernel uses for its attr
+# fetch — TPU generic gathers serialize per element, a known backward-pass
+# suspect, VERDICT r4 ask #4).  Value-exact either way (each one-hot row
+# sums exactly one 1.0 * value); the VJP becomes matmul-accumulate instead
+# of scatter-add.  Only viable for the dense path's small T_pad.
+_BWD_ONEHOT = __import__("os").environ.get(
+    "CHIAROSCURO_BWD_ONEHOT", "0"
+) not in ("0", "", "false")
+
+
+def _bwd_fetch(mat, tid):
+    """mat (W, T_pad) fetched per-lane by tid (B0, 128) -> (W, B0, 128)."""
+    if _BWD_ONEHOT:
+        T = mat.shape[1]
+        onehot = (
+            jnp.arange(T, dtype=tid.dtype)[:, None]
+            == tid.reshape(-1)[None, :]
+        ).astype(jnp.float32)                          # (T_pad, R)
+        out = jnp.dot(mat, onehot, preferred_element_type=jnp.float32)
+        return out.reshape(mat.shape[0], *tid.shape)
+    return mat[:, tid]
+
+
 def _closest_diff_bwd(chunk, interpret, res, cts):
     live, o3, d3, tri_rows, attrT, tid, hit = res
     ct_t, _ct_tid, ct_u, ct_v, ct_am = cts
     h = hit.astype(jnp.float32)
 
     def recompute(o3, d3, tri_rows, attrT):
-        tri = tri_rows.T[:, tid]                      # (9, B0, 128) planar
+        tri = _bwd_fetch(tri_rows.T, tid)             # (9, B0, 128) planar
         _, t, u, v = _mt_core(
             (o3[0], o3[1], o3[2]),
             (d3[0], d3[1], d3[2]),
@@ -456,7 +480,7 @@ def _closest_diff_bwd(chunk, interpret, res, cts):
             (tri[3], tri[4], tri[5]),
             (tri[6], tri[7], tri[8]),
         )
-        am = attrT[:, tid]                            # (ATTR_K, B0, 128)
+        am = _bwd_fetch(attrT, tid)                   # (ATTR_K, B0, 128)
         return t, u, v, am
 
     _, vjp = jax.vjp(recompute, o3, d3, tri_rows, attrT)

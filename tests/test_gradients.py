@@ -247,3 +247,49 @@ def test_remat_gradients_match_non_remat(setup):
     for k in params:
         np.testing.assert_allclose(
             np.asarray(g0[k]), np.asarray(g1[k]), rtol=1e-5, atol=1e-8)
+
+
+def test_bwd_onehot_fetch_matches_gather(cornell_scene):
+    """The one-hot-matmul backward recompute fetch (CHIAROSCURO_BWD_ONEHOT)
+    must produce the same gradients as the gather fetch (each one-hot row
+    sums exactly one 1.0 * value; VJP accumulation order may differ)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import chiaroscuro_tpu.ops.intersect_pallas as ip
+    from chiaroscuro_tpu.ops.intersect_pallas import make_pallas_intersectors
+    from chiaroscuro_tpu.render.renderer import render_samples
+    from chiaroscuro_tpu.scene.builtin import CORNELL_CAMERA as cam
+
+    scene = cornell_scene
+    ys, xs = np.meshgrid(np.arange(8, dtype=np.int32),
+                         np.arange(16, dtype=np.int32), indexing="ij")
+    px, py = jnp.asarray(xs.reshape(-1)), jnp.asarray(ys.reshape(-1))
+
+    def loss(params, scene):
+        s = dataclasses.replace(scene, **params)
+        cf, af = make_pallas_intersectors(s)
+        img = render_samples(
+            s, jnp.asarray(cam["eye"], jnp.float32),
+            jnp.asarray(cam["center"], jnp.float32),
+            jnp.asarray(cam["up"], jnp.float32), jnp.float32(cam["yview"]),
+            16, 8, px, py, jnp.int32(0), 2, jnp.uint32(0), 2,
+            jnp.zeros(3, jnp.float32), cf, af)
+        return jnp.mean(img)
+
+    params = {"kd": scene.kd, "ke": scene.ke, "tri_v0": scene.tri_v0}
+    orig = ip._BWD_ONEHOT
+    try:
+        ip._BWD_ONEHOT = False
+        g_gather = jax.grad(loss)(params, scene)
+        ip._BWD_ONEHOT = True
+        g_onehot = jax.grad(loss)(params, scene)
+    finally:
+        ip._BWD_ONEHOT = orig
+    for k in params:
+        np.testing.assert_allclose(
+            np.asarray(g_onehot[k]), np.asarray(g_gather[k]),
+            rtol=1e-5, atol=1e-8, err_msg=k)
