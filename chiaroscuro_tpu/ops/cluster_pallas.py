@@ -351,52 +351,83 @@ def _cull_rows_hier(o3, d3, sup_min, sup_max, kid_min, kid_max, K, Lmax,
 # ---------------------------------------------------------------------------
 
 
-def _visit_chunk(chunk, o, d, tmax=None, excl=None):
+def _visit_chunk(chunk, o, d, tmax=None, excl=None, T=False):
     """Core per-cluster computation on a packed (PACK_W, M) block.
 
     Closest mode (tmax is None): returns (tmin, idsel, cu, cv, cattr) —
     the lexicographic-(t, original id) best hit of the chunk per lane.
     Any mode: returns the per-lane blocking mask reduced over the chunk.
+
+    ``T=False`` (default): triangles on sublanes, rays on lanes — the 16
+    geometry/id rows transpose to triangle-major (M, 16) each visit.
+    ``T=True``: **transposed layout** — rays on sublanes ((128, 1) column
+    vectors, transposed once per row outside the trip loop), triangles on
+    lanes (the packed (1, M) field rows used directly, zero per-visit
+    relayout).  Identical scalar operations per (triangle, lane) pair and
+    identical reduction sets, so results are bitwise equal; only vector
+    orientation differs (and the reductions run cross-lane instead of
+    cross-sublane).  Outputs come back in transposed orientation —
+    (128, 1) columns, (128, AK) attrs — and are transposed once per row at
+    store time.
     """
     M = chunk.shape[1]
-    # Geometry + id rows -> triangle-major (M, 16) columns for the
-    # Moller-Trumbore (M, 1) x (1, 128) broadcast.  Only these 16 rows
-    # transpose; the attribute rows feed the MXU untouched.
-    geo = jnp.transpose(chunk[0:PACK_ATTR0, :], (1, 0))   # (M, 16)
-    v0 = (geo[:, 0:1], geo[:, 1:2], geo[:, 2:3])
-    e1 = (geo[:, 3:4], geo[:, 4:5], geo[:, 5:6])
-    e2 = (geo[:, 6:7], geo[:, 7:8], geo[:, 8:9])
-    oid = jnp.broadcast_to(geo[:, 9:10], (M, 128))        # exact float ids
+    if T:
+        v0 = (chunk[0:1, :], chunk[1:2, :], chunk[2:3, :])   # (1, M) rows
+        e1 = (chunk[3:4, :], chunk[4:5, :], chunk[5:6, :])
+        e2 = (chunk[6:7, :], chunk[7:8, :], chunk[8:9, :])
+        oid = jnp.broadcast_to(chunk[9:10, :], (128, M))     # exact ids
+        red_ax = 1                                           # lanes = tris
+    else:
+        # Geometry + id rows -> triangle-major (M, 16) columns for the
+        # Moller-Trumbore (M, 1) x (1, 128) broadcast.  Only these 16 rows
+        # transpose; the attribute rows feed the MXU untouched.
+        geo = jnp.transpose(chunk[0:PACK_ATTR0, :], (1, 0))  # (M, 16)
+        v0 = (geo[:, 0:1], geo[:, 1:2], geo[:, 2:3])
+        e1 = (geo[:, 3:4], geo[:, 4:5], geo[:, 5:6])
+        e2 = (geo[:, 6:7], geo[:, 7:8], geo[:, 8:9])
+        oid = jnp.broadcast_to(geo[:, 9:10], (M, 128))       # exact ids
+        red_ax = 0                                           # sublanes
     ok, t, u, v = _mt_core(o, d, v0, e1, e2)
 
     if tmax is not None:
         blocking = ok & (t < tmax) & (oid != excl)
-        return jnp.any(blocking, axis=0, keepdims=True)
+        return jnp.any(blocking, axis=red_ax, keepdims=True)
 
     t = jnp.where(ok, t, BIG)
-    tmin = jnp.min(t, axis=0, keepdims=True)              # (1, 128)
+    tmin = jnp.min(t, axis=red_ax, keepdims=True)
     is_min = t == tmin
     idsel = jnp.min(
-        jnp.where(is_min, oid, ID_SENTINEL), axis=0, keepdims=True
+        jnp.where(is_min, oid, ID_SENTINEL), axis=red_ax, keepdims=True
     )
     sel = is_min & (oid == idsel)                         # one-hot per lane
-    cu = jnp.sum(jnp.where(sel, u, 0.0), axis=0, keepdims=True)
-    cv = jnp.sum(jnp.where(sel, v, 0.0), axis=0, keepdims=True)
-    cattr = jnp.dot(
-        chunk[PACK_ATTR0 : PACK_ATTR0 + ATTR_K, :],       # (AK, M)
-        sel.astype(jnp.float32),                          # (M, 128)
-        preferred_element_type=jnp.float32,
-    )                                                     # (AK, 128)
+    cu = jnp.sum(jnp.where(sel, u, 0.0), axis=red_ax, keepdims=True)
+    cv = jnp.sum(jnp.where(sel, v, 0.0), axis=red_ax, keepdims=True)
+    attrs_c = chunk[PACK_ATTR0 : PACK_ATTR0 + ATTR_K, :]  # (AK, M)
+    if T:
+        cattr = jax.lax.dot_general(
+            sel.astype(jnp.float32),                      # (128, M)
+            attrs_c,                                      # (AK, M)
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                 # (128, AK)
+    else:
+        cattr = jnp.dot(
+            attrs_c,
+            sel.astype(jnp.float32),                      # (M, 128)
+            preferred_element_type=jnp.float32,
+        )                                                 # (AK, 128)
     return tmin, idsel, cu, cv, cattr
 
 
-def _closest_init():
+def _closest_init(T=False):
+    col = (128, 1) if T else (1, 128)
+    attr = (128, ATTR_K) if T else (ATTR_K, 128)
     return (
-        jnp.full((1, 128), BIG, jnp.float32),
-        jnp.full((1, 128), ID_SENTINEL, jnp.float32),
-        jnp.zeros((1, 128), jnp.float32),
-        jnp.zeros((1, 128), jnp.float32),
-        jnp.zeros((ATTR_K, 128), jnp.float32),
+        jnp.full(col, BIG, jnp.float32),
+        jnp.full(col, ID_SENTINEL, jnp.float32),
+        jnp.zeros(col, jnp.float32),
+        jnp.zeros(col, jnp.float32),
+        jnp.zeros(attr, jnp.float32),
     )
 
 
@@ -415,8 +446,12 @@ def _closest_merge(carry, visit):
     )
 
 
-def _store_closest(b, carry, t_ref, id_ref, u_ref, v_ref, attr_out):
+def _store_closest(b, carry, t_ref, id_ref, u_ref, v_ref, attr_out, T=False):
     bt, bi, bu, bv, ba = carry
+    if T:
+        # One relayout per ROW (after all trips), not per visit.
+        bt, bi, bu, bv = (jnp.transpose(x, (1, 0)) for x in (bt, bi, bu, bv))
+        ba = jnp.transpose(ba, (1, 0))
     t_ref[pl.ds(b, 1), :] = bt
     id_ref[pl.ds(b, 1), :] = jnp.where(bt < BIG, bi, 0.0).astype(jnp.int32)
     u_ref[pl.ds(b, 1), :] = bu
@@ -424,9 +459,13 @@ def _store_closest(b, carry, t_ref, id_ref, u_ref, v_ref, attr_out):
     attr_out[:, pl.ds(b, 1), :] = ba[:, None, :]
 
 
-def _row_rays(o_ref, d_ref, b):
+def _row_rays(o_ref, d_ref, b, T=False):
     o = (o_ref[0, pl.ds(b, 1)], o_ref[1, pl.ds(b, 1)], o_ref[2, pl.ds(b, 1)])
     d = (d_ref[0, pl.ds(b, 1)], d_ref[1, pl.ds(b, 1)], d_ref[2, pl.ds(b, 1)])
+    if T:
+        # (1, 128) -> (128, 1) columns once per row; reused by every visit.
+        o = tuple(jnp.transpose(x, (1, 0)) for x in o)
+        d = tuple(jnp.transpose(x, (1, 0)) for x in d)
     return o, d
 
 
@@ -456,7 +495,7 @@ def _row_helpers(meta_ref, ids_ref, nears_ref, cutoff_ref, b, Le):
 
 def _closest_kernel(
     meta_ref, ids_ref, nears_ref, cutoff_ref, o_ref, d_ref, pack_ref,
-    t_ref, id_ref, u_ref, v_ref, attr_out, *, M, Le,
+    t_ref, id_ref, u_ref, v_ref, attr_out, *, M, Le, T,
 ):
     NK = pack_ref.shape[0] // PACK_W          # static cluster count
 
@@ -464,7 +503,7 @@ def _closest_kernel(
         trip, cutoff, cid_of, near_of = _row_helpers(
             meta_ref, ids_ref, nears_ref, cutoff_ref, b, Le
         )
-        o, d = _row_rays(o_ref, d_ref, b)
+        o, d = _row_rays(o_ref, d_ref, b, T=T)
 
         def cond(state):
             j, carry = state
@@ -473,10 +512,10 @@ def _closest_kernel(
         def body(state):
             j, carry = state
             chunk = pack_ref[pl.ds(cid_of(j) * PACK_W, PACK_W), :]
-            return j + 1, _closest_merge(carry, _visit_chunk(chunk, o, d))
+            return j + 1, _closest_merge(carry, _visit_chunk(chunk, o, d, T=T))
 
         _, carry = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), _closest_init())
+            cond, body, (jnp.int32(0), _closest_init(T))
         )
 
         # Phase 2 (overflow rows only): identity-order residual sweep,
@@ -491,10 +530,10 @@ def _closest_kernel(
         def body2(state):
             j, carry = state
             chunk = pack_ref[pl.ds(j * PACK_W, PACK_W), :]
-            return j + 1, _closest_merge(carry, _visit_chunk(chunk, o, d))
+            return j + 1, _closest_merge(carry, _visit_chunk(chunk, o, d, T=T))
 
         _, carry = jax.lax.while_loop(cond2, body2, (jnp.int32(0), carry))
-        _store_closest(b, carry, t_ref, id_ref, u_ref, v_ref, attr_out)
+        _store_closest(b, carry, t_ref, id_ref, u_ref, v_ref, attr_out, T=T)
         return _
 
     jax.lax.fori_loop(0, TILE_ROWS, row_body, 0)
@@ -502,7 +541,7 @@ def _closest_kernel(
 
 def _any_kernel(
     meta_ref, ids_ref, nears_ref, cutoff_ref, o_ref, d_ref, tmax_ref,
-    excl_ref, pack_ref, occ_ref, *, M, Le,
+    excl_ref, pack_ref, occ_ref, *, M, Le, T,
 ):
     NK = pack_ref.shape[0] // PACK_W          # static cluster count
 
@@ -510,9 +549,12 @@ def _any_kernel(
         trip, cutoff, cid_of, near_of = _row_helpers(
             meta_ref, ids_ref, nears_ref, cutoff_ref, b, Le
         )
-        o, d = _row_rays(o_ref, d_ref, b)
+        o, d = _row_rays(o_ref, d_ref, b, T=T)
         tmax = tmax_ref[pl.ds(b, 1), :]
         excl = excl_ref[pl.ds(b, 1), :]
+        if T:
+            tmax = jnp.transpose(tmax, (1, 0))
+            excl = jnp.transpose(excl, (1, 0))
 
         # The occlusion mask is carried as float32 (0.0 / 1.0), not bool:
         # Mosaic cannot legalize an `scf.yield` of a vector<i1> loop carry
@@ -531,11 +573,11 @@ def _any_kernel(
         def body(state):
             j, occf = state
             chunk = pack_ref[pl.ds(cid_of(j) * PACK_W, PACK_W), :]
-            hit = _visit_chunk(chunk, o, d, tmax, excl)
+            hit = _visit_chunk(chunk, o, d, tmax, excl, T=T)
             return j + 1, jnp.maximum(occf, hit.astype(jnp.float32))
 
         _, occf = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), jnp.zeros((1, 128), jnp.float32))
+            cond, body, (jnp.int32(0), jnp.zeros((128, 1) if T else (1, 128), jnp.float32))
         )
 
         # Phase 2 (overflow rows): unlisted boxes all have entry >= cutoff,
@@ -549,11 +591,13 @@ def _any_kernel(
         def body2(state):
             j, occf = state
             chunk = pack_ref[pl.ds(j * PACK_W, PACK_W), :]
-            hit = _visit_chunk(chunk, o, d, tmax, excl)
+            hit = _visit_chunk(chunk, o, d, tmax, excl, T=T)
             return j + 1, jnp.maximum(occf, hit.astype(jnp.float32))
 
         _, occf = jax.lax.while_loop(cond2, body2, (jnp.int32(0), occf))
-        occ_ref[pl.ds(b, 1), :] = occf > 0.0
+        occ_ref[pl.ds(b, 1), :] = (
+            jnp.transpose(occf, (1, 0)) if T else occf
+        ) > 0.0
         return _
 
     jax.lax.fori_loop(0, TILE_ROWS, row_body, 0)
@@ -565,7 +609,7 @@ def _any_kernel(
 def _stream_closest_kernel(
     meta_ref, ids_ref, nears_ref, cutoff_ref, o_ref, d_ref, pack_hbm,
     t_ref, id_ref, u_ref, v_ref, attr_out,
-    scratch, sem, *, M, Le,
+    scratch, sem, *, M, Le, T,
 ):
     NK = pack_hbm.shape[0] // PACK_W          # static cluster count
 
@@ -573,7 +617,7 @@ def _stream_closest_kernel(
         trip, cutoff, cid_of, near_of = _row_helpers(
             meta_ref, ids_ref, nears_ref, cutoff_ref, b, Le
         )
-        o, d = _row_rays(o_ref, d_ref, b)
+        o, d = _row_rays(o_ref, d_ref, b, T=T)
 
         def dma_to(slot, cid):
             return pltpu.make_async_copy(
@@ -608,10 +652,10 @@ def _stream_closest_kernel(
 
             dma(slot, j).wait()
             chunk = scratch[slot]
-            return j + 1, _closest_merge(carry, _visit_chunk(chunk, o, d))
+            return j + 1, _closest_merge(carry, _visit_chunk(chunk, o, d, T=T))
 
         j_exit, carry = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), _closest_init())
+            cond, body, (jnp.int32(0), _closest_init(T))
         )
 
         @pl.when(j_exit < trip)
@@ -642,7 +686,7 @@ def _stream_closest_kernel(
 
             dma_to(slot, j).wait()
             chunk = scratch[slot]
-            return j + 1, _closest_merge(carry, _visit_chunk(chunk, o, d))
+            return j + 1, _closest_merge(carry, _visit_chunk(chunk, o, d, T=T))
 
         j2, carry = jax.lax.while_loop(cond2, body2, (jnp.int32(0), carry))
 
@@ -650,7 +694,7 @@ def _stream_closest_kernel(
         def _():
             dma_to(jax.lax.rem(j2, 2), j2).wait()
 
-        _store_closest(b, carry, t_ref, id_ref, u_ref, v_ref, attr_out)
+        _store_closest(b, carry, t_ref, id_ref, u_ref, v_ref, attr_out, T=T)
         return acc
 
     jax.lax.fori_loop(0, TILE_ROWS, row_body, 0)
@@ -658,7 +702,7 @@ def _stream_closest_kernel(
 
 def _stream_any_kernel(
     meta_ref, ids_ref, nears_ref, cutoff_ref, o_ref, d_ref, tmax_ref,
-    excl_ref, pack_hbm, occ_ref, scratch, sem, *, M, Le,
+    excl_ref, pack_hbm, occ_ref, scratch, sem, *, M, Le, T,
 ):
     NK = pack_hbm.shape[0] // PACK_W          # static cluster count
 
@@ -666,9 +710,12 @@ def _stream_any_kernel(
         trip, cutoff, cid_of, near_of = _row_helpers(
             meta_ref, ids_ref, nears_ref, cutoff_ref, b, Le
         )
-        o, d = _row_rays(o_ref, d_ref, b)
+        o, d = _row_rays(o_ref, d_ref, b, T=T)
         tmax = tmax_ref[pl.ds(b, 1), :]
         excl = excl_ref[pl.ds(b, 1), :]
+        if T:
+            tmax = jnp.transpose(tmax, (1, 0))
+            excl = jnp.transpose(excl, (1, 0))
 
         def dma_to(slot, cid):
             return pltpu.make_async_copy(
@@ -705,11 +752,11 @@ def _stream_any_kernel(
 
             dma(slot, j).wait()
             chunk = scratch[slot]
-            hit = _visit_chunk(chunk, o, d, tmax, excl)
+            hit = _visit_chunk(chunk, o, d, tmax, excl, T=T)
             return j + 1, jnp.maximum(occf, hit.astype(jnp.float32))
 
         j_exit, occf = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), jnp.zeros((1, 128), jnp.float32))
+            cond, body, (jnp.int32(0), jnp.zeros((128, 1) if T else (1, 128), jnp.float32))
         )
 
         @pl.when(j_exit < trip)
@@ -742,7 +789,7 @@ def _stream_any_kernel(
 
             dma_to(slot, j).wait()
             chunk = scratch[slot]
-            hit = _visit_chunk(chunk, o, d, tmax, excl)
+            hit = _visit_chunk(chunk, o, d, tmax, excl, T=T)
             return j + 1, jnp.maximum(occf, hit.astype(jnp.float32))
 
         j2, occf = jax.lax.while_loop(cond2, body2, (jnp.int32(0), occf))
@@ -751,7 +798,9 @@ def _stream_any_kernel(
         def _():
             dma_to(jax.lax.rem(j2, 2), j2).wait()
 
-        occ_ref[pl.ds(b, 1), :] = occf > 0.0
+        occ_ref[pl.ds(b, 1), :] = (
+            jnp.transpose(occf, (1, 0)) if T else occf
+        ) > 0.0
         return acc
 
     jax.lax.fori_loop(0, TILE_ROWS, row_body, 0)
@@ -784,9 +833,9 @@ def _common_specs(Le):
     return smem_meta, smem_ids, smem_nears, smem_cutoff, ray, row
 
 
-@partial(jax.jit, static_argnames=("M", "Le", "stream", "interpret"))
+@partial(jax.jit, static_argnames=("M", "Le", "stream", "interpret", "T"))
 def _closest_call(meta, ids, nears, cutoff, o3, d3, packed, M, Le, stream,
-                  interpret=False):
+                  interpret=False, T=False):
     B0 = o3.shape[1]
     smem_meta, smem_ids, smem_nears, smem_cutoff, ray, row = _common_specs(Le)
     pack_spec = pl.BlockSpec(
@@ -801,7 +850,7 @@ def _closest_call(meta, ids, nears, cutoff, o3, d3, packed, M, Le, stream,
     ]
     kernel = _stream_closest_kernel if stream else _closest_kernel
     return pl.pallas_call(
-        partial(kernel, M=M, Le=Le),
+        partial(kernel, M=M, Le=Le, T=T),
         grid=(B0 // TILE_ROWS,),
         out_shape=out_shape,
         in_specs=[smem_meta, smem_ids, smem_nears, smem_cutoff, ray, ray,
@@ -829,9 +878,9 @@ def _closest_call(meta, ids, nears, cutoff, o3, d3, packed, M, Le, stream,
     )(meta, ids, nears, cutoff, o3, d3, packed)
 
 
-@partial(jax.jit, static_argnames=("M", "Le", "stream", "interpret"))
+@partial(jax.jit, static_argnames=("M", "Le", "stream", "interpret", "T"))
 def _any_call(meta, ids, nears, cutoff, o3, d3, tmax, excl, packed, M, Le,
-              stream, interpret=False):
+              stream, interpret=False, T=False):
     B0 = o3.shape[1]
     smem_meta, smem_ids, smem_nears, smem_cutoff, ray, row = _common_specs(Le)
     pack_spec = pl.BlockSpec(
@@ -839,7 +888,7 @@ def _any_call(meta, ids, nears, cutoff, o3, d3, tmax, excl, packed, M, Le,
     )
     kernel = _stream_any_kernel if stream else _any_kernel
     return pl.pallas_call(
-        partial(kernel, M=M, Le=Le),
+        partial(kernel, M=M, Le=Le, T=T),
         grid=(B0 // TILE_ROWS,),
         out_shape=jax.ShapeDtypeStruct((B0, 128), jnp.bool_),
         in_specs=[smem_meta, smem_ids, smem_nears, smem_cutoff, ray, ray,
@@ -874,6 +923,7 @@ def make_cluster_intersectors(
     stream: bool | None = None,
     hier: bool | None = None,
     Lsup: int = 48,
+    visit_t: bool | None = None,
 ) -> Tuple[ClosestFn, AnyFn]:
     """Cluster-culled Pallas intersectors for large scenes.
 
@@ -903,6 +953,15 @@ def make_cluster_intersectors(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if visit_t is None:
+        # Transposed visit layout (rays on sublanes, triangles on lanes):
+        # zero per-visit geometry relayout, bitwise-identical results (see
+        # _visit_chunk).  A/B flag until the on-chip measurement decides
+        # the default.
+        import os as _os
+
+        visit_t = _os.environ.get("CHIAROSCURO_VISIT_T", "0") not in (
+            "0", "", "false")
     if clusters is None:
         clusters = build_clusters(
             np.asarray(scene.tri_v0),
@@ -1016,7 +1075,7 @@ def make_cluster_intersectors(
         meta, ids, nears, cutoff = cull(o3p, d3p)
         t, tid, u, v, am = _closest_call(
             meta, ids, nears, cutoff, o3p, d3p, packed, M, Le, stream,
-            interpret=interpret,
+            interpret=interpret, T=visit_t,
         )
         return t[:B0], tid[:B0], u[:B0], v[:B0], am[:, :B0]
 
@@ -1079,7 +1138,7 @@ def make_cluster_intersectors(
             meta, ids, nears, cutoff = cull(o3, d3, tmax=tmax)
             occ = _any_call(
                 meta, ids, nears, cutoff, o3, d3, tmax, excl, packed_sg, M,
-                Le, stream, interpret=interpret,
+                Le, stream, interpret=interpret, T=visit_t,
             )
             return occ[:B0]
 

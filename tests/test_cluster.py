@@ -444,3 +444,50 @@ def test_bind_buffers_matches_bind_scene(rng):
     )
     assert (same | ties).all()
     np.testing.assert_array_equal(np.asarray(occ_b), np.asarray(occ))
+
+
+@pytest.mark.parametrize("stream", [False, True])
+def test_transposed_visit_equivalent(rng, stream):
+    """visit_t=True (rays on sublanes, triangles on lanes) performs the
+    identical scalar ops per (triangle, lane) pair; results may differ
+    from the default layout only through compiler FMA-contraction choices
+    (measured: t/tid bitwise, v at ~1 ulp on CPU) — so the contract is the
+    oracle-style one: exact hit sets, 1e-6-tight continuous outputs,
+    ids equal off ties.  Covers overflow rows too (small Lmax)."""
+    v0, v1, v2 = _random_soup(rng, 300)
+    scene = _soup_scene(v0, v1, v2)
+    o, d = _rays(rng, 256, np.float32(-4.4), np.float32(4.4))
+    outs = {}
+    for T in (False, True):
+        cf, af = make_cluster_intersectors(
+            scene, M=16, Lmax=4, interpret=True, stream=stream, visit_t=T,
+        )
+        res = cf(o, d)
+        occ = af(o, d, jnp.where(res.hit, res.t * 1.1, 1e9),
+                 jnp.full((256,), -1, jnp.int32))
+        outs[T] = (res, occ)
+    a, b = outs[False], outs[True]
+    np.testing.assert_array_equal(np.asarray(a[0].hit), np.asarray(b[0].hit))
+    hit = np.asarray(a[0].hit)
+    np.testing.assert_allclose(
+        np.asarray(a[0].t)[hit], np.asarray(b[0].t)[hit], rtol=1e-6)
+    same = np.asarray(a[0].tid)[hit] == np.asarray(b[0].tid)[hit]
+    ties = np.isclose(
+        np.asarray(a[0].t)[hit], np.asarray(b[0].t)[hit], rtol=1e-6)
+    assert (same | ties).all()
+    for f in ("u", "v"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(a[0], f))[hit][same],
+            np.asarray(getattr(b[0], f))[hit][same], rtol=1e-5, atol=1e-6,
+            err_msg=f)
+    for k in a[0].attrs:
+        av = np.asarray(a[0].attrs[k])
+        bv = np.asarray(b[0].attrs[k])
+        sel = hit if av.ndim == 1 else hit[:, None]
+        if av.dtype.kind == "i":
+            assert ((av == bv) | ~np.broadcast_to(sel, av.shape)).all(), k
+        else:
+            np.testing.assert_allclose(
+                np.where(sel, av, 0), np.where(sel, bv, 0),
+                rtol=1e-5, atol=1e-6, err_msg=k)
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
