@@ -495,24 +495,38 @@ def _row_helpers(meta_ref, ids_ref, nears_ref, cutoff_ref, b, Le):
 
 def _closest_kernel(
     meta_ref, ids_ref, nears_ref, cutoff_ref, o_ref, d_ref, pack_ref,
-    t_ref, id_ref, u_ref, v_ref, attr_out, *, M, Le, T,
+    t_ref, id_ref, u_ref, v_ref, attr_out, *, M, Le, T, U,
 ):
     NK = pack_ref.shape[0] // PACK_W          # static cluster count
+    NKU = -(-NK // U) * U                     # padded to the unroll
 
     def row_body(b, _):
         trip, cutoff, cid_of, near_of = _row_helpers(
             meta_ref, ids_ref, nears_ref, cutoff_ref, b, Le
         )
         o, d = _row_rays(o_ref, d_ref, b, T=T)
+        # Unroll factor U: each loop iteration visits U clusters and checks
+        # the early-exit bound once per GROUP — the per-visit (lane-reduce
+        # -> scalar branch) sync is a measured serial-latency tax.  Visit
+        # indices past trip clamp to the last listed cluster: a repeat
+        # visit is idempotent under _closest_merge, and any cluster visit
+        # is CORRECT (never wrong, only redundant) because the cull is
+        # conservative — lanes cannot hit triangles of boxes they miss.
+        tripU = -(-trip // U) * U
 
         def cond(state):
             j, carry = state
-            return (j < trip) & (jnp.max(carry[0]) >= near_of(j))
+            return (j < tripU) & (jnp.max(carry[0]) >= near_of(j))
 
         def body(state):
             j, carry = state
-            chunk = pack_ref[pl.ds(cid_of(j) * PACK_W, PACK_W), :]
-            return j + 1, _closest_merge(carry, _visit_chunk(chunk, o, d, T=T))
+            for u in range(U):
+                cidu = cid_of(jnp.minimum(j + u, trip - 1))
+                chunk = pack_ref[pl.ds(cidu * PACK_W, PACK_W), :]
+                carry = _closest_merge(
+                    carry, _visit_chunk(chunk, o, d, T=T)
+                )
+            return j + U, carry
 
         _, carry = jax.lax.while_loop(
             cond, body, (jnp.int32(0), _closest_init(T))
@@ -525,12 +539,17 @@ def _closest_kernel(
         # carry cutoff = +inf and never enter (miss sentinel BIG < inf).
         def cond2(state):
             j, carry = state
-            return (j < NK) & (jnp.max(carry[0]) >= cutoff)
+            return (j < NKU) & (jnp.max(carry[0]) >= cutoff)
 
         def body2(state):
             j, carry = state
-            chunk = pack_ref[pl.ds(j * PACK_W, PACK_W), :]
-            return j + 1, _closest_merge(carry, _visit_chunk(chunk, o, d, T=T))
+            for u in range(U):
+                cidu = jnp.minimum(j + u, NK - 1)
+                chunk = pack_ref[pl.ds(cidu * PACK_W, PACK_W), :]
+                carry = _closest_merge(
+                    carry, _visit_chunk(chunk, o, d, T=T)
+                )
+            return j + U, carry
 
         _, carry = jax.lax.while_loop(cond2, body2, (jnp.int32(0), carry))
         _store_closest(b, carry, t_ref, id_ref, u_ref, v_ref, attr_out, T=T)
@@ -541,9 +560,10 @@ def _closest_kernel(
 
 def _any_kernel(
     meta_ref, ids_ref, nears_ref, cutoff_ref, o_ref, d_ref, tmax_ref,
-    excl_ref, pack_ref, occ_ref, *, M, Le, T,
+    excl_ref, pack_ref, occ_ref, *, M, Le, T, U,
 ):
     NK = pack_ref.shape[0] // PACK_W          # static cluster count
+    NKU = -(-NK // U) * U
 
     def row_body(b, _):
         trip, cutoff, cid_of, near_of = _row_helpers(
@@ -555,6 +575,7 @@ def _any_kernel(
         if T:
             tmax = jnp.transpose(tmax, (1, 0))
             excl = jnp.transpose(excl, (1, 0))
+        tripU = -(-trip // U) * U             # see _closest_kernel unroll
 
         # The occlusion mask is carried as float32 (0.0 / 1.0), not bool:
         # Mosaic cannot legalize an `scf.yield` of a vector<i1> loop carry
@@ -566,18 +587,23 @@ def _any_kernel(
         def cond(state):
             j, occf = state
             open_tmax = jnp.max(jnp.where(occf < 1.0, tmax, -BIG))
-            return (j < trip) & (jnp.min(occf) < 1.0) & (
+            return (j < tripU) & (jnp.min(occf) < 1.0) & (
                 near_of(j) <= open_tmax
             )
 
         def body(state):
             j, occf = state
-            chunk = pack_ref[pl.ds(cid_of(j) * PACK_W, PACK_W), :]
-            hit = _visit_chunk(chunk, o, d, tmax, excl, T=T)
-            return j + 1, jnp.maximum(occf, hit.astype(jnp.float32))
+            for u in range(U):
+                cidu = cid_of(jnp.minimum(j + u, trip - 1))
+                chunk = pack_ref[pl.ds(cidu * PACK_W, PACK_W), :]
+                hit = _visit_chunk(chunk, o, d, tmax, excl, T=T)
+                occf = jnp.maximum(occf, hit.astype(jnp.float32))
+            return j + U, occf
 
         _, occf = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), jnp.zeros((128, 1) if T else (1, 128), jnp.float32))
+            cond, body,
+            (jnp.int32(0),
+             jnp.zeros((128, 1) if T else (1, 128), jnp.float32)),
         )
 
         # Phase 2 (overflow rows): unlisted boxes all have entry >= cutoff,
@@ -586,13 +612,16 @@ def _any_kernel(
         def cond2(state):
             j, occf = state
             open_tmax = jnp.max(jnp.where(occf < 1.0, tmax, -BIG))
-            return (j < NK) & (jnp.min(occf) < 1.0) & (cutoff <= open_tmax)
+            return (j < NKU) & (jnp.min(occf) < 1.0) & (cutoff <= open_tmax)
 
         def body2(state):
             j, occf = state
-            chunk = pack_ref[pl.ds(j * PACK_W, PACK_W), :]
-            hit = _visit_chunk(chunk, o, d, tmax, excl, T=T)
-            return j + 1, jnp.maximum(occf, hit.astype(jnp.float32))
+            for u in range(U):
+                cidu = jnp.minimum(j + u, NK - 1)
+                chunk = pack_ref[pl.ds(cidu * PACK_W, PACK_W), :]
+                hit = _visit_chunk(chunk, o, d, tmax, excl, T=T)
+                occf = jnp.maximum(occf, hit.astype(jnp.float32))
+            return j + U, occf
 
         _, occf = jax.lax.while_loop(cond2, body2, (jnp.int32(0), occf))
         occ_ref[pl.ds(b, 1), :] = (
@@ -609,15 +638,17 @@ def _any_kernel(
 def _stream_closest_kernel(
     meta_ref, ids_ref, nears_ref, cutoff_ref, o_ref, d_ref, pack_hbm,
     t_ref, id_ref, u_ref, v_ref, attr_out,
-    scratch, sem, *, M, Le, T,
+    scratch, sem, *, M, Le, T, U,
 ):
     NK = pack_hbm.shape[0] // PACK_W          # static cluster count
+    NKU = -(-NK // U) * U
 
     def row_body(b, acc):
         trip, cutoff, cid_of, near_of = _row_helpers(
             meta_ref, ids_ref, nears_ref, cutoff_ref, b, Le
         )
         o, d = _row_rays(o_ref, d_ref, b, T=T)
+        tripU = -(-trip // U) * U             # see _closest_kernel unroll
 
         def dma_to(slot, cid):
             return pltpu.make_async_copy(
@@ -626,73 +657,100 @@ def _stream_closest_kernel(
                 sem.at[slot],
             )
 
-        def dma(slot, j):
-            return dma_to(slot, cid_of(j))
+        def vc(v):
+            # Clamped visit -> cluster id (repeats are idempotent-safe).
+            return cid_of(jnp.minimum(v, trip - 1))
 
+        def dma(v):
+            return dma_to(jax.lax.rem(v, 2 * U), vc(v))
+
+        # Group-of-U DMA pipeline: kickoff starts group 0; body j starts
+        # group j+U (one group ahead, 2U slots so groups never collide)
+        # then waits/visits group j.  On exit at j_exit < tripU the
+        # in-flight group [j_exit, j_exit+U) is drained — a pending async
+        # copy must always be consumed.
         @pl.when(trip > 0)
         def _():
-            dma(0, 0).start()
+            for u in range(U):
+                dma(jnp.int32(u)).start()
 
-        # Early exit keeps the one-ahead prefetch: body j prefetches j+1
-        # before computing j, so on exit at j_exit < trip the prefetch of
-        # j_exit (issued by body j_exit-1, or the kickoff DMA when
-        # j_exit == 0) is still in flight and is drained below — a pending
-        # async copy must always be consumed.
         def cond(state):
             j, carry = state
-            return (j < trip) & (jnp.max(carry[0]) >= near_of(j))
+            return (j < tripU) & (jnp.max(carry[0]) >= near_of(j))
 
         def body(state):
             j, carry = state
-            slot = jax.lax.rem(j, 2)
+            for u in range(U):
+                v = j + U + u
 
-            @pl.when(j + 1 < trip)
-            def _():
-                dma(jax.lax.rem(j + 1, 2), j + 1).start()
+                @pl.when(v < tripU)
+                def _(v=v):
+                    dma(v).start()
 
-            dma(slot, j).wait()
-            chunk = scratch[slot]
-            return j + 1, _closest_merge(carry, _visit_chunk(chunk, o, d, T=T))
+            for u in range(U):
+                v = j + u
+                dma(v).wait()
+                chunk = scratch[jax.lax.rem(v, 2 * U)]
+                carry = _closest_merge(
+                    carry, _visit_chunk(chunk, o, d, T=T)
+                )
+            return j + U, carry
 
         j_exit, carry = jax.lax.while_loop(
             cond, body, (jnp.int32(0), _closest_init(T))
         )
 
-        @pl.when(j_exit < trip)
-        def _():
-            dma(jax.lax.rem(j_exit, 2), j_exit).wait()
+        for u in range(U):
+            v = j_exit + u
+
+            @pl.when((trip > 0) & (v < tripU))
+            def _(v=v):
+                dma(v).wait()
 
         # Phase 2 (overflow rows; see _closest_kernel): identity-order
-        # residual sweep with the same double-buffered DMA discipline.
-        # `trigger` is captured before the sweep so kickoff and drain
-        # agree on whether any DMA was ever started.
+        # residual sweep with the same grouped DMA discipline.  `trigger`
+        # is captured before the sweep so kickoff and drain agree on
+        # whether any DMA was ever started.
         trigger = jnp.max(carry[0]) >= cutoff
+
+        def dma2(v):
+            return dma_to(jax.lax.rem(v, 2 * U), jnp.minimum(v, NK - 1))
 
         @pl.when(trigger)
         def _():
-            dma_to(0, jnp.int32(0)).start()
+            for u in range(U):
+                dma2(jnp.int32(u)).start()
 
         def cond2(state):
             j, carry = state
-            return (j < NK) & (jnp.max(carry[0]) >= cutoff)
+            return (j < NKU) & (jnp.max(carry[0]) >= cutoff)
 
         def body2(state):
             j, carry = state
-            slot = jax.lax.rem(j, 2)
+            for u in range(U):
+                v = j + U + u
 
-            @pl.when(j + 1 < NK)
-            def _():
-                dma_to(jax.lax.rem(j + 1, 2), j + 1).start()
+                @pl.when(v < NKU)
+                def _(v=v):
+                    dma2(v).start()
 
-            dma_to(slot, j).wait()
-            chunk = scratch[slot]
-            return j + 1, _closest_merge(carry, _visit_chunk(chunk, o, d, T=T))
+            for u in range(U):
+                v = j + u
+                dma2(v).wait()
+                chunk = scratch[jax.lax.rem(v, 2 * U)]
+                carry = _closest_merge(
+                    carry, _visit_chunk(chunk, o, d, T=T)
+                )
+            return j + U, carry
 
         j2, carry = jax.lax.while_loop(cond2, body2, (jnp.int32(0), carry))
 
-        @pl.when(trigger & (j2 < NK))
-        def _():
-            dma_to(jax.lax.rem(j2, 2), j2).wait()
+        for u in range(U):
+            v = j2 + u
+
+            @pl.when(trigger & (v < NKU))
+            def _(v=v):
+                dma2(v).wait()
 
         _store_closest(b, carry, t_ref, id_ref, u_ref, v_ref, attr_out, T=T)
         return acc
@@ -702,9 +760,10 @@ def _stream_closest_kernel(
 
 def _stream_any_kernel(
     meta_ref, ids_ref, nears_ref, cutoff_ref, o_ref, d_ref, tmax_ref,
-    excl_ref, pack_hbm, occ_ref, scratch, sem, *, M, Le, T,
+    excl_ref, pack_hbm, occ_ref, scratch, sem, *, M, Le, T, U,
 ):
     NK = pack_hbm.shape[0] // PACK_W          # static cluster count
+    NKU = -(-NK // U) * U
 
     def row_body(b, acc):
         trip, cutoff, cid_of, near_of = _row_helpers(
@@ -716,6 +775,7 @@ def _stream_any_kernel(
         if T:
             tmax = jnp.transpose(tmax, (1, 0))
             excl = jnp.transpose(excl, (1, 0))
+        tripU = -(-trip // U) * U             # see _closest_kernel unroll
 
         def dma_to(slot, cid):
             return pltpu.make_async_copy(
@@ -724,44 +784,56 @@ def _stream_any_kernel(
                 sem.at[slot],
             )
 
-        def dma(slot, j):
-            return dma_to(slot, cid_of(j))
+        def vc(v):
+            return cid_of(jnp.minimum(v, trip - 1))
 
-        @pl.when(trip > 0)
-        def _():
-            dma(0, 0).start()
+        def dma(v):
+            return dma_to(jax.lax.rem(v, 2 * U), vc(v))
 
-        # Early exit with one-ahead prefetch; the in-flight prefetch of
-        # j_exit is drained after the loop (see _stream_closest_kernel).
+        # Group-of-U DMA pipeline (see _stream_closest_kernel).
         # f32 occlusion carry for the same Mosaic vector<i1>-yield reason
         # as the resident any-kernel above.
+        @pl.when(trip > 0)
+        def _():
+            for u in range(U):
+                dma(jnp.int32(u)).start()
+
         def cond(state):
             j, occf = state
             open_tmax = jnp.max(jnp.where(occf < 1.0, tmax, -BIG))
-            return (j < trip) & (jnp.min(occf) < 1.0) & (
+            return (j < tripU) & (jnp.min(occf) < 1.0) & (
                 near_of(j) <= open_tmax
             )
 
         def body(state):
             j, occf = state
-            slot = jax.lax.rem(j, 2)
+            for u in range(U):
+                v = j + U + u
 
-            @pl.when(j + 1 < trip)
-            def _():
-                dma(jax.lax.rem(j + 1, 2), j + 1).start()
+                @pl.when(v < tripU)
+                def _(v=v):
+                    dma(v).start()
 
-            dma(slot, j).wait()
-            chunk = scratch[slot]
-            hit = _visit_chunk(chunk, o, d, tmax, excl, T=T)
-            return j + 1, jnp.maximum(occf, hit.astype(jnp.float32))
+            for u in range(U):
+                v = j + u
+                dma(v).wait()
+                chunk = scratch[jax.lax.rem(v, 2 * U)]
+                hit = _visit_chunk(chunk, o, d, tmax, excl, T=T)
+                occf = jnp.maximum(occf, hit.astype(jnp.float32))
+            return j + U, occf
 
         j_exit, occf = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), jnp.zeros((128, 1) if T else (1, 128), jnp.float32))
+            cond, body,
+            (jnp.int32(0),
+             jnp.zeros((128, 1) if T else (1, 128), jnp.float32)),
         )
 
-        @pl.when(j_exit < trip)
-        def _():
-            dma(jax.lax.rem(j_exit, 2), j_exit).wait()
+        for u in range(U):
+            v = j_exit + u
+
+            @pl.when((trip > 0) & (v < tripU))
+            def _(v=v):
+                dma(v).wait()
 
         # Phase 2 (overflow rows; see _any_kernel): residual sweep only
         # while some unoccluded lane's tmax reaches past the cutoff.
@@ -771,32 +843,43 @@ def _stream_any_kernel(
 
         trigger = unresolved(occf)
 
+        def dma2(v):
+            return dma_to(jax.lax.rem(v, 2 * U), jnp.minimum(v, NK - 1))
+
         @pl.when(trigger)
         def _():
-            dma_to(0, jnp.int32(0)).start()
+            for u in range(U):
+                dma2(jnp.int32(u)).start()
 
         def cond2(state):
             j, occf = state
-            return (j < NK) & unresolved(occf)
+            return (j < NKU) & unresolved(occf)
 
         def body2(state):
             j, occf = state
-            slot = jax.lax.rem(j, 2)
+            for u in range(U):
+                v = j + U + u
 
-            @pl.when(j + 1 < NK)
-            def _():
-                dma_to(jax.lax.rem(j + 1, 2), j + 1).start()
+                @pl.when(v < NKU)
+                def _(v=v):
+                    dma2(v).start()
 
-            dma_to(slot, j).wait()
-            chunk = scratch[slot]
-            hit = _visit_chunk(chunk, o, d, tmax, excl, T=T)
-            return j + 1, jnp.maximum(occf, hit.astype(jnp.float32))
+            for u in range(U):
+                v = j + u
+                dma2(v).wait()
+                chunk = scratch[jax.lax.rem(v, 2 * U)]
+                hit = _visit_chunk(chunk, o, d, tmax, excl, T=T)
+                occf = jnp.maximum(occf, hit.astype(jnp.float32))
+            return j + U, occf
 
         j2, occf = jax.lax.while_loop(cond2, body2, (jnp.int32(0), occf))
 
-        @pl.when(trigger & (j2 < NK))
-        def _():
-            dma_to(jax.lax.rem(j2, 2), j2).wait()
+        for u in range(U):
+            v = j2 + u
+
+            @pl.when(trigger & (v < NKU))
+            def _(v=v):
+                dma2(v).wait()
 
         occ_ref[pl.ds(b, 1), :] = (
             jnp.transpose(occf, (1, 0)) if T else occf
@@ -833,9 +916,10 @@ def _common_specs(Le):
     return smem_meta, smem_ids, smem_nears, smem_cutoff, ray, row
 
 
-@partial(jax.jit, static_argnames=("M", "Le", "stream", "interpret", "T"))
+@partial(jax.jit,
+         static_argnames=("M", "Le", "stream", "interpret", "T", "U"))
 def _closest_call(meta, ids, nears, cutoff, o3, d3, packed, M, Le, stream,
-                  interpret=False, T=False):
+                  interpret=False, T=False, U=1):
     B0 = o3.shape[1]
     smem_meta, smem_ids, smem_nears, smem_cutoff, ray, row = _common_specs(Le)
     pack_spec = pl.BlockSpec(
@@ -850,7 +934,7 @@ def _closest_call(meta, ids, nears, cutoff, o3, d3, packed, M, Le, stream,
     ]
     kernel = _stream_closest_kernel if stream else _closest_kernel
     return pl.pallas_call(
-        partial(kernel, M=M, Le=Le, T=T),
+        partial(kernel, M=M, Le=Le, T=T, U=U),
         grid=(B0 // TILE_ROWS,),
         out_shape=out_shape,
         in_specs=[smem_meta, smem_ids, smem_nears, smem_cutoff, ray, ray,
@@ -865,8 +949,8 @@ def _closest_call(meta, ids, nears, cutoff, o3, d3, packed, M, Le, stream,
         ],
         scratch_shapes=(
             [
-                pltpu.VMEM((2, PACK_W, M), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((2 * U, PACK_W, M), jnp.float32),
+                pltpu.SemaphoreType.DMA((2 * U,)),
             ]
             if stream
             else []
@@ -878,9 +962,10 @@ def _closest_call(meta, ids, nears, cutoff, o3, d3, packed, M, Le, stream,
     )(meta, ids, nears, cutoff, o3, d3, packed)
 
 
-@partial(jax.jit, static_argnames=("M", "Le", "stream", "interpret", "T"))
+@partial(jax.jit,
+         static_argnames=("M", "Le", "stream", "interpret", "T", "U"))
 def _any_call(meta, ids, nears, cutoff, o3, d3, tmax, excl, packed, M, Le,
-              stream, interpret=False, T=False):
+              stream, interpret=False, T=False, U=1):
     B0 = o3.shape[1]
     smem_meta, smem_ids, smem_nears, smem_cutoff, ray, row = _common_specs(Le)
     pack_spec = pl.BlockSpec(
@@ -888,7 +973,7 @@ def _any_call(meta, ids, nears, cutoff, o3, d3, tmax, excl, packed, M, Le,
     )
     kernel = _stream_any_kernel if stream else _any_kernel
     return pl.pallas_call(
-        partial(kernel, M=M, Le=Le, T=T),
+        partial(kernel, M=M, Le=Le, T=T, U=U),
         grid=(B0 // TILE_ROWS,),
         out_shape=jax.ShapeDtypeStruct((B0, 128), jnp.bool_),
         in_specs=[smem_meta, smem_ids, smem_nears, smem_cutoff, ray, ray,
@@ -896,8 +981,8 @@ def _any_call(meta, ids, nears, cutoff, o3, d3, tmax, excl, packed, M, Le,
         out_specs=row,
         scratch_shapes=(
             [
-                pltpu.VMEM((2, PACK_W, M), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((2 * U, PACK_W, M), jnp.float32),
+                pltpu.SemaphoreType.DMA((2 * U,)),
             ]
             if stream
             else []
@@ -924,6 +1009,7 @@ def make_cluster_intersectors(
     hier: bool | None = None,
     Lsup: int = 48,
     visit_t: bool | None = None,
+    visit_u: int | None = None,
 ) -> Tuple[ClosestFn, AnyFn]:
     """Cluster-culled Pallas intersectors for large scenes.
 
@@ -962,6 +1048,13 @@ def make_cluster_intersectors(
 
         visit_t = _os.environ.get("CHIAROSCURO_VISIT_T", "0") not in (
             "0", "", "false")
+    if visit_u is None:
+        # Visit-loop unroll: U clusters per while iteration, early-exit
+        # checked per group — amortizes the per-visit lane-reduce -> scalar
+        # -branch sync (A/B flag until the on-chip measurement decides).
+        import os as _os
+
+        visit_u = int(_os.environ.get("CHIAROSCURO_VISIT_U", "1"))
     if clusters is None:
         clusters = build_clusters(
             np.asarray(scene.tri_v0),
@@ -1075,7 +1168,7 @@ def make_cluster_intersectors(
         meta, ids, nears, cutoff = cull(o3p, d3p)
         t, tid, u, v, am = _closest_call(
             meta, ids, nears, cutoff, o3p, d3p, packed, M, Le, stream,
-            interpret=interpret, T=visit_t,
+            interpret=interpret, T=visit_t, U=visit_u,
         )
         return t[:B0], tid[:B0], u[:B0], v[:B0], am[:, :B0]
 
@@ -1138,7 +1231,7 @@ def make_cluster_intersectors(
             meta, ids, nears, cutoff = cull(o3, d3, tmax=tmax)
             occ = _any_call(
                 meta, ids, nears, cutoff, o3, d3, tmax, excl, packed_sg, M,
-                Le, stream, interpret=interpret, T=visit_t,
+                Le, stream, interpret=interpret, T=visit_t, U=visit_u,
             )
             return occ[:B0]
 

@@ -491,3 +491,32 @@ def test_transposed_visit_equivalent(rng, stream):
                 np.where(sel, av, 0), np.where(sel, bv, 0),
                 rtol=1e-5, atol=1e-6, err_msg=k)
     np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+@pytest.mark.parametrize("stream,U", [(False, 4), (True, 2), (True, 4)])
+def test_visit_unroll_bitwise_identical(rng, stream, U):
+    """The U-unrolled visit loop pads each row's trip to a multiple of U
+    with clamped repeat visits — idempotent under the closest merge and
+    the occlusion OR — so results must be bitwise identical to U=1.
+    Small Lmax exercises the unrolled phase-2 residual sweep too."""
+    v0, v1, v2 = _random_soup(rng, 300)
+    scene = _soup_scene(v0, v1, v2)
+    o, d = _rays(rng, 256, np.float32(-4.4), np.float32(4.4))
+    outs = {}
+    for u_ in (1, U):
+        cf, af = make_cluster_intersectors(
+            scene, M=16, Lmax=4, interpret=True, stream=stream, visit_u=u_,
+        )
+        res = cf(o, d)
+        occ = af(o, d, jnp.where(res.hit, res.t * 1.1, 1e9),
+                 jnp.full((256,), -1, jnp.int32))
+        outs[u_] = (res, occ)
+    a, b = outs[1], outs[U]
+    for f in ("hit", "t", "tid", "u", "v"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a[0], f)), np.asarray(getattr(b[0], f)),
+            err_msg=f)
+    for k in a[0].attrs:
+        np.testing.assert_array_equal(
+            np.asarray(a[0].attrs[k]), np.asarray(b[0].attrs[k]), err_msg=k)
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
