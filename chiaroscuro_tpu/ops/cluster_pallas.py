@@ -266,10 +266,16 @@ def _cull_rows_hier(o3, d3, sup_min, sup_max, kid_min, kid_max, K, Lmax,
 
     Exactness: a super box is the union of its child boxes (same padding),
     so the super test can never miss a hit child (monotone min/max slab
-    arithmetic); rows hitting more than ``Lsup`` supers or ``Le`` clusters
-    overflow to the full K sweep, identically to the flat path.  Returns the
-    flat cull's exact (meta, ids, nears) contract — hit cluster ids ordered
-    near-to-far by entry-distance bound.
+    arithmetic).  The row's supercluster list holds the ``Lsup`` *nearest*
+    hit supers by entry bound; rows hitting more get a **sup-level
+    cutoff** — the entry of the first excluded super.  Every child of an
+    excluded super has entry >= its parent's entry >= that cutoff (a
+    contained box can never be entered earlier than its container), so the
+    final phase-2 cutoff ``min(kid cutoff, sup cutoff)`` makes the kernel's
+    residual sweep exact, and the near-ordered prefix stays useful even on
+    sup overflow (the old contract forced a full-K identity sweep with no
+    early exit there).  Returns the flat cull's exact (meta, ids, nears,
+    cutoff) contract.
 
     sup_min/sup_max: (KS, 3); kid_min/kid_max: (KS, G, 3) with padded child
     slots inverted (they are additionally masked by ``cid < K`` here, so
@@ -281,12 +287,27 @@ def _cull_rows_hier(o3, d3, sup_min, sup_max, kid_min, kid_max, K, Lmax,
     tmax = None if tmax is None else jax.lax.stop_gradient(tmax)
     inv = _safe_inv(d3)
 
-    # Level 1: dense sweep over the KS super boxes.
-    suphit = _rowhit_scan(o3, inv, sup_min, sup_max, tmax)   # (B0, KS)
+    # Level 1: dense sweep over the KS super boxes, entry bounds included.
+    suphit, sup_entry = _rowhit_scan(
+        o3, inv, sup_min, sup_max, tmax, with_near=True
+    )                                                        # (B0, KS) x2
     sup_count = jnp.sum(suphit, axis=1).astype(jnp.int32)
     Lse = min(Lsup, KS)
-    svals, sids = jax.lax.top_k(suphit.astype(jnp.int32), Lse)
+    skey_all = jnp.where(suphit, sup_entry, BIG)
+    sup_iota = jnp.broadcast_to(
+        jnp.arange(KS, dtype=jnp.int32)[None, :], skey_all.shape
+    )
+    skey_sorted, sids_sorted = jax.lax.sort(
+        (skey_all, sup_iota), num_keys=1, is_stable=True
+    )
+    sids = sids_sorted[:, :Lse]                 # Lse NEAREST hit supers
+    svals = (skey_sorted[:, :Lse] < BIG).astype(jnp.int32)
     sup_over = sup_count > Lse
+    # Entry bound of the nearest EXCLUDED super (BIG when none).
+    sup_cutoff = (
+        skey_sorted[:, Lse] if KS > Lse
+        else jnp.full(skey_all.shape[:1], BIG, jnp.float32)
+    )
 
     # Level 2: child boxes of the listed supers only.  One scan step per
     # list slot s: gather that slot's (B0, G, 3) child boxes and slab-test
@@ -331,18 +352,15 @@ def _cull_rows_hier(o3, d3, sup_min, sup_max, kid_min, kid_max, K, Lmax,
     # (Candidate ids are distinct by construction: top_k supers are
     # distinct, children within a super are distinct.)
     meta, ids, nears, cutoff = _order_hits(hits, cids, entry, K, Le)
-    # Supercluster-list overflow means the child enumeration itself is
-    # incomplete (unlike kid-level overflow, where every hit box was seen
-    # and the Le nearest are listed): the listed prefix carries no
-    # exactness guarantee, so skip phase 1 (trip = 0) and force the
-    # kernel's residual full-K sweep with cutoff = -BIG — no unvisited box
-    # has a known entry bound, so the closest sweep must run to completion
-    # (exactly the old overflow behavior; the any-kernel still exits when
-    # every lane occludes).
-    trip = jnp.where(sup_over, jnp.int32(0), meta[:, 0])
+    # Sup-level overflow: the enumeration covered only the children of the
+    # Lse nearest supers; everything else lies at entry >= sup_cutoff (see
+    # docstring), so the near-ordered prefix stays valid phase-1 work and
+    # the kernel's residual sweep triggers on min(kid cutoff, sup cutoff).
     overflow = sup_over | (meta[:, 1] > 0)
-    meta = jnp.stack([trip, overflow.astype(jnp.int32)], axis=1)
-    cutoff = jnp.where(sup_over[:, None], -BIG, cutoff)
+    meta = jnp.stack([meta[:, 0], overflow.astype(jnp.int32)], axis=1)
+    cutoff = jnp.where(
+        sup_over[:, None], jnp.minimum(cutoff, sup_cutoff[:, None]), cutoff
+    )
     return meta, ids, nears, cutoff
 
 
