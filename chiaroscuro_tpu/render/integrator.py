@@ -74,6 +74,12 @@ _COMPACT_VIA_GATHER = os.environ.get(
     "CHIAROSCURO_COMPACT_GATHER", "1"
 ) not in ("0", "", "false")
 
+# Per-axis |direction|-share bits in the spatial bounce-sort key: 2 -> 4x4
+# angular bins inside each octant (the r4 sweep's winner on the 480k
+# atrium); raise for tighter bounce-row cones at the cost of more scattered
+# origin-cell runs.  Ordering-only metadata — any value is correct.
+_DIR_BITS = int(os.environ.get("CHIAROSCURO_DIR_BITS", "2"))
+
 
 def _dot(a, b):
     return jnp.sum(a * b, axis=-1)
@@ -339,12 +345,14 @@ def trace_paths_planar(
         )
         s = (jnp.abs(direction[0]) + jnp.abs(direction[1])
              + jnp.abs(direction[2]) + 1e-9)
-        b1 = jnp.clip(jnp.abs(direction[0]) / s * 4.0, 0.0, 3.0)
-        b2 = jnp.clip(jnp.abs(direction[1]) / s * 4.0, 0.0, 3.0)
-        cone = (b1.astype(jnp.int32) << 2) | b2.astype(jnp.int32)
+        nb = float(1 << _DIR_BITS)
+        b1 = jnp.clip(jnp.abs(direction[0]) / s * nb, 0.0, nb - 1.0)
+        b2 = jnp.clip(jnp.abs(direction[1]) / s * nb, 0.0, nb - 1.0)
+        cone = (b1.astype(jnp.int32) << _DIR_BITS) | b2.astype(jnp.int32)
+        cone_w = 2 * _DIR_BITS
         return (
-            (dead << 22) | (octant << 19) | (cone << 15)
-            | _morton_cell(origin)
+            (dead << (cone_w + 18)) | (octant << (cone_w + 15))
+            | (cone << 15) | _morton_cell(origin)
         )
 
     def _sorted_any(o, d, tmax, excl, li, hit):
