@@ -1059,20 +1059,21 @@ def make_cluster_intersectors(
         interpret = jax.default_backend() != "tpu"
     if visit_t is None:
         # Transposed visit layout (rays on sublanes, triangles on lanes):
-        # zero per-visit geometry relayout, bitwise-identical results (see
-        # _visit_chunk).  A/B flag until the on-chip measurement decides
-        # the default.
+        # zero per-visit geometry relayout, same scalar math (see
+        # _visit_chunk).  Default ON — measured v5e r5: sponza 3052 ->
+        # 2602 ms, nanosuit 319 -> ~291 ms (docs/ROOFLINE.md r5 section).
         import os as _os
 
-        visit_t = _os.environ.get("CHIAROSCURO_VISIT_T", "0") not in (
+        visit_t = _os.environ.get("CHIAROSCURO_VISIT_T", "1") not in (
             "0", "", "false")
     if visit_u is None:
         # Visit-loop unroll: U clusters per while iteration, early-exit
         # checked per group — amortizes the per-visit lane-reduce -> scalar
-        # -branch sync (A/B flag until the on-chip measurement decides).
+        # -branch sync.  Default 8 — measured v5e r5 (with visit_t):
+        # sponza 2602 -> 2150 ms, nanosuit 319 -> 273.6 ms.
         import os as _os
 
-        visit_u = int(_os.environ.get("CHIAROSCURO_VISIT_U", "1"))
+        visit_u = int(_os.environ.get("CHIAROSCURO_VISIT_U", "8"))
     if clusters is None:
         clusters = build_clusters(
             np.asarray(scene.tri_v0),
