@@ -186,9 +186,14 @@ def bench_forward(scene, cam, intersector, xres=512, yres=512, spp=16,
 
 
 def bench_500spp(scene, cam, intersector, xres=512, yres=512, depth=3,
-                 spp=500, chunk=100):
+                 spp=500, chunk=250):
     """The named headline: cornell 512x512 @ 500 spp — forward wall-clock
     and fwd+bwd (BASELINE.md "cornell_box 512x512 @ 500 spp, fwd+bwd").
+
+    chunk=250 is the r5-tuned grad-accumulation size (sweep on v5e:
+    50/100/250/500 -> 5.76/5.51/5.36/5.31 s per 500 spp with the one-hot
+    backward fetch; 250 keeps the accumulation path exercised at ~the
+    optimum).
 
     The backward pass remats the per-sample scan body (renderer
     ``remat=True``): without it the scan residuals are O(pixels * spp)
