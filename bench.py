@@ -391,11 +391,9 @@ def bench_sponza_scale(xres=1280, yres=720, spp=1, depth=3,
     from chiaroscuro_tpu.scene.scene_arrays import build_scene_arrays
     from chiaroscuro_tpu.scene.synthetic import ATRIUM_CAMERA, atrium
 
-    scene = build_scene_arrays(atrium(target_tris))
-    ca = build_clusters(
-        np.asarray(scene.tri_v0), np.asarray(scene.tri_v1),
-        np.asarray(scene.tri_v2),
-    )
+    scene_np = build_scene_arrays(atrium(target_tris), device_put=False)
+    ca = build_clusters(scene_np.tri_v0, scene_np.tri_v1, scene_np.tri_v2)
+    scene = jax.device_put(scene_np)
     stream = ca.K * ca.M * PACK_W * 4 > RESIDENT_BUDGET_BYTES
     assert stream, "atrium must exceed the residency budget"
     atlas_texels = int(scene.tex_data.shape[0])
@@ -509,11 +507,13 @@ def bench_atrium3m(xres=1280, yres=720, spp=1, depth=3,
     from chiaroscuro_tpu.scene.scene_arrays import build_scene_arrays
     from chiaroscuro_tpu.scene.synthetic import ATRIUM_CAMERA, atrium
 
-    scene = build_scene_arrays(atrium(target_tris))
-    ca = build_clusters(
-        np.asarray(scene.tri_v0), np.asarray(scene.tri_v1),
-        np.asarray(scene.tri_v2),
-    )
+    # Build host-side first: the meshlet build needs concrete numpy
+    # geometry, and a 3M-triangle device->host fetch over the TPU tunnel
+    # is both slow and fragile (observed worker crash).  One device_put
+    # uploads the scene afterwards.
+    scene_np = build_scene_arrays(atrium(target_tris), device_put=False)
+    ca = build_clusters(scene_np.tri_v0, scene_np.tri_v1, scene_np.tri_v2)
+    scene = jax.device_put(scene_np)
     out = {"n_tris": int(scene.n_tris), "K": int(ca.K), "KS": int(ca.KS),
            "packed_mb": ca.K * ca.M * PACK_W * 4 / 2**20,
            "spp": spp, "depth": depth, "res": [xres, yres]}
