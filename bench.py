@@ -166,11 +166,27 @@ def bench_forward(scene, cam, intersector, xres=512, yres=512, spp=16,
         _, stats = frame(scene, jnp.int32((i + 1) * spp))
         _sync(stats)
         times.append(time.perf_counter() - t0)
-    dt = min(times)
+    dt_single = min(times)
+    # Steady-state throughput: enqueue n_pipe independent frames, hard-sync
+    # every result at the end.  The single-call number above carries the
+    # measured ~47 ms tunnel dispatch+sync round trip per call (r5
+    # calibration, tools/_tpu_r5_dispatch.py: an EMPTY jit call costs
+    # 46.7 ms single vs 1.3 ms pipelined); production rendering keeps the
+    # device fed, so throughput is the headline and latency is reported
+    # alongside (`ms_single`, comparable with the r4 hard-synced numbers).
+    n_pipe = 8
+    t0 = time.perf_counter()
+    outs = [frame(scene, jnp.int32((iters + 1 + i) * spp))
+            for i in range(n_pipe)]
+    for o in outs:
+        _sync(o[1])
+    dt = (time.perf_counter() - t0) / n_pipe
+    stats = outs[-1][1]
     useful = float(stats.sum())
     issued = float(xres * yres * spp * depth * 2)
     out = {
         "ms": dt * 1e3,
+        "ms_single": dt_single * 1e3,
         "compile_s": compile_s,
         "useful_rays_per_sec": useful / dt,
         "issued_rays_per_sec": issued / dt,
@@ -178,9 +194,12 @@ def bench_forward(scene, cam, intersector, xres=512, yres=512, spp=16,
         "spp": spp,
         "depth": depth,
         "res": [xres, yres],
+        "n_pipelined": n_pipe,
     }
     log(f"[{tag}/{intersector}] forward {xres}x{yres} @ {spp}spp depth={depth}: "
-        f"{dt * 1e3:.1f} ms -> {useful / dt / 1e6:.1f} Mray/s useful "
+        f"{dt * 1e3:.1f} ms/frame pipelined x{n_pipe} "
+        f"(single-call {dt_single * 1e3:.1f} ms) -> "
+        f"{useful / dt / 1e6:.1f} Mray/s useful "
         f"({issued / dt / 1e6:.1f} issued, occ {100 * useful / issued:.0f}%)")
     return out
 
@@ -439,20 +458,31 @@ def bench_sponza_scale(xres=1280, yres=720, spp=1, depth=3,
            "K": int(ca.K), "KS": int(ca.KS), "stream": True,
            "atlas_texels": atlas_texels,
            "spp": spp, "depth": depth, "res": [xres, yres]}
-    log(f"[sponza_scale/stream+hier] compile+first run: {out['compile_s']:.2f}s")
+    log(f"[sponza_scale/stream] compile+first run: {out['compile_s']:.2f}s")
     times = []
-    for i in range(3):
+    for i in range(2):
         t0 = time.perf_counter()
         _, stats = frame(scene, jnp.int32((i + 1) * spp))
         _sync(stats)
         times.append(time.perf_counter() - t0)
-    dt = min(times)
+    dt_single = min(times)
+    # Steady-state throughput (see bench_forward): dispatch tax is small
+    # at seconds-scale frames, but keep the methodology uniform.
+    n_pipe = 3
+    t0 = time.perf_counter()
+    outs = [frame(scene, jnp.int32((3 + i) * spp)) for i in range(n_pipe)]
+    for o in outs:
+        _sync(o[1])
+    dt = (time.perf_counter() - t0) / n_pipe
+    stats = outs[-1][1]
     useful = float(stats.sum())
     issued = float(xres * yres * spp * depth * 2)
-    out.update(ms=dt * 1e3, useful_rays_per_sec=useful / dt,
+    out.update(ms=dt * 1e3, ms_single=dt_single * 1e3, n_pipelined=n_pipe,
+               useful_rays_per_sec=useful / dt,
                issued_rays_per_sec=issued / dt, occupancy=useful / issued)
-    log(f"[sponza_scale/stream+hier] forward {xres}x{yres} @ {spp}spp "
-        f"depth={depth}: {dt * 1e3:.1f} ms -> {useful / dt / 1e6:.3g} Mray/s "
+    log(f"[sponza_scale/stream] forward {xres}x{yres} @ {spp}spp "
+        f"depth={depth}: {dt * 1e3:.1f} ms/frame pipelined x{n_pipe} "
+        f"(single {dt_single * 1e3:.1f}) -> {useful / dt / 1e6:.3g} Mray/s "
         f"useful ({issued / dt / 1e6:.3g} issued, "
         f"occ {100 * useful / issued:.0f}%)")
 

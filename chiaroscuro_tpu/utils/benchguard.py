@@ -25,13 +25,19 @@ from typing import Dict, List, Tuple
 
 # Timing-methodology epoch per bench round: rounds 1-3 ended timed regions
 # with jax.block_until_ready only, which the axon backend can satisfy
-# early; round 4+ adds a host fetch (bench.py _sync).  Numbers across the
-# boundary are not directly comparable — cross-epoch findings are labelled,
-# not suppressed.
+# early; round 4 adds a host fetch (bench.py _sync); round 5+ reports
+# steady-state pipelined throughput as ``ms`` (single-call latency stays
+# in ``ms_single`` — the r5 calibration measured a ~47 ms tunnel
+# dispatch+sync round trip baked into every r4-era single-call number).
+# Numbers across epoch boundaries are not directly comparable —
+# cross-epoch findings are labelled, not suppressed.
 HARDSYNC_FROM_ROUND = 4
+PIPELINED_FROM_ROUND = 5
 
 
 def epoch_of(round_n: int) -> str:
+    if round_n >= PIPELINED_FROM_ROUND:
+        return "pipelined"
     return "hardsync" if round_n >= HARDSYNC_FROM_ROUND else "async"
 
 

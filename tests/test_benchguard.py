@@ -54,12 +54,22 @@ def test_within_threshold_not_flagged():
 
 
 def test_same_epoch_best_not_cross_labelled():
-    now = _extra(nanosuit_ms=300.0)  # 1.25x vs r4's 240 (both hardsync)
-    f = benchguard.flag_regressions(now, HISTORY, current_round=5)
+    # r5 and r6 are both pipelined-epoch; a regression between them is
+    # same-epoch.  r4 (hardsync) vs r5+ IS cross-epoch by design: r5
+    # re-defined `ms` as steady-state pipelined throughput.
+    history = HISTORY + [(5, _extra(nanosuit_ms=200.0))]
+    now = _extra(nanosuit_ms=260.0)  # 1.3x vs r5's 200 (both pipelined)
+    f = benchguard.flag_regressions(now, history, current_round=6)
     hits = [x for x in f["regressions_vs_best"]
             if x["config"] == "nanosuit_cluster" and x["metric"] == "ms"]
     assert len(hits) == 1 and not hits[0]["cross_epoch"]
-    assert hits[0]["best_epoch"] == "hardsync"
+    assert hits[0]["best_epoch"] == "pipelined"
+    # hardsync-vs-pipelined is labelled cross-epoch.
+    f4 = benchguard.flag_regressions(
+        _extra(nanosuit_ms=300.0), HISTORY, current_round=5)
+    hit4 = [x for x in f4["regressions_vs_best"]
+            if x["config"] == "nanosuit_cluster" and x["metric"] == "ms"][0]
+    assert hit4["cross_epoch"] and hit4["best_epoch"] == "hardsync"
 
 
 def test_compile_budget_miss_flagged():
