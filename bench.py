@@ -541,7 +541,13 @@ def bench_atrium3m(xres=1280, yres=720, spp=1, depth=3,
     # geometry, and a 3M-triangle device->host fetch over the TPU tunnel
     # is both slow and fragile (observed worker crash).  One device_put
     # uploads the scene afterwards.
-    scene_np = build_scene_arrays(atrium(target_tris), device_put=False)
+    # tex_size=512: this config probes GEOMETRY scale (K > 16k); the
+    # sponza_scale config already carries the 21 M-texel atlas, and at 3 M
+    # triangles the full atlas pushes the frame's peak HBM past the chip
+    # (observed RESOURCE_EXHAUSTED with both together).
+    scene_np = build_scene_arrays(
+        atrium(target_tris, tex_size=512), device_put=False
+    )
     ca = build_clusters(scene_np.tri_v0, scene_np.tri_v1, scene_np.tri_v2)
     scene = jax.device_put(scene_np)
     out = {"n_tris": int(scene.n_tris), "K": int(ca.K), "KS": int(ca.KS),

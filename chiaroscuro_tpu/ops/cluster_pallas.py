@@ -1025,7 +1025,7 @@ def make_cluster_intersectors(
     clusters: ClusterArrays | None = None,
     stream: bool | None = None,
     hier: bool | None = None,
-    Lsup: int = 48,
+    Lsup: int | None = None,
     visit_t: bool | None = None,
     visit_u: int | None = None,
 ) -> Tuple[ClosestFn, AnyFn]:
@@ -1112,6 +1112,14 @@ def make_cluster_intersectors(
         raise ValueError(
             "clusters lack supercluster boxes; rebuild with build_clusters"
         )
+    if Lsup is None:
+        # Scale the supercluster list with the supercluster count: a fixed
+        # Lsup=48 at KS ~ 1,500 (the 3M-triangle atrium) overflows nearly
+        # every row, and each sup-overflow row that fails the cutoff test
+        # pays a full-K phase-2 sweep — measured as minutes-long kernels
+        # (device watchdog kills).  ~KS/6 keeps the enumerated candidate
+        # set ~K/6 wide while the flat sweep is K.
+        Lsup = max(48, min(256, (clusters.KS or 48) // 6))
 
     # Host (numpy) constants: captured by jitted callers without a
     # device->host fetch at lowering time (utils/hostconst.py).
