@@ -276,15 +276,18 @@ def bench_500spp(scene, cam, intersector, xres=512, yres=512, depth=3,
         l, g = grad_fn(params, scene, jnp.int32(0))
         _sync(g)  # compile
         out["fwdbwd_compile_s"] = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        loss = 0.0
-        grads = None
-        for i in range(n_chunks):
-            l, g = grad_fn(params, scene, jnp.int32(i * chunk))
-            loss = loss + l
-            grads = g if grads is None else jax.tree.map(jnp.add, grads, g)
-        _sync(grads)
-        out["fwdbwd_ms"] = (time.perf_counter() - t0) * 1e3
+        best = float("inf")
+        for _rep in range(2):   # best-of-2: tunnel noise robustness
+            t0 = time.perf_counter()
+            loss = 0.0
+            grads = None
+            for i in range(n_chunks):
+                l, g = grad_fn(params, scene, jnp.int32(i * chunk))
+                loss = loss + l
+                grads = g if grads is None else jax.tree.map(jnp.add, grads, g)
+            _sync(grads)
+            best = min(best, time.perf_counter() - t0)
+        out["fwdbwd_ms"] = best * 1e3
         log(f"[cornell/{intersector}] fwd+bwd {xres}x{yres} @ {spp}spp "
             f"(x{n_chunks} grad-accum, remat): {out['fwdbwd_ms']:.0f} ms "
             f"(loss={float(loss):.4f})")
@@ -373,10 +376,13 @@ def bench_nanosuit(intersector="cluster", xres=1024, yres=1024, spp=1,
         fwd["fwdbwd_compile_s"] = time.perf_counter() - t0
         log(f"[nanosuit/{intersector}] fwd+bwd compile+first: "
             f"{fwd['fwdbwd_compile_s']:.2f}s")
-        t0 = time.perf_counter()
-        loss, grads = grad_fn(params, scene)
-        _sync(grads)
-        fwd["fwdbwd_ms"] = (time.perf_counter() - t0) * 1e3
+        best = float("inf")
+        for _rep in range(2):   # best-of-2: tunnel noise robustness
+            t0 = time.perf_counter()
+            loss, grads = grad_fn(params, scene)
+            _sync(grads)
+            best = min(best, time.perf_counter() - t0)
+        fwd["fwdbwd_ms"] = best * 1e3
         log(f"[nanosuit/{intersector}] fwd+bwd {xres}x{yres} @ {spp}spp: "
             f"{fwd['fwdbwd_ms']:.0f} ms (loss={float(loss):.4f})")
     except Exception as e:  # diagnostics only
@@ -506,10 +512,13 @@ def bench_sponza_scale(xres=1280, yres=720, spp=1, depth=3,
         out["fwdbwd_compile_s"] = time.perf_counter() - t0
         log(f"[sponza_scale] fwd+bwd compile+first: "
             f"{out['fwdbwd_compile_s']:.2f}s")
-        t0 = time.perf_counter()
-        loss, grads = grad_fn(params, scene)
-        _sync(grads)
-        out["fwdbwd_ms"] = (time.perf_counter() - t0) * 1e3
+        best = float("inf")
+        for _rep in range(2):   # best-of-2: tunnel noise robustness
+            t0 = time.perf_counter()
+            loss, grads = grad_fn(params, scene)
+            _sync(grads)
+            best = min(best, time.perf_counter() - t0)
+        out["fwdbwd_ms"] = best * 1e3
         log(f"[sponza_scale] fwd+bwd {xres}x{yres} @ {spp}spp: "
             f"{out['fwdbwd_ms']:.0f} ms (loss={float(loss):.4f})")
     except Exception as e:  # diagnostics only
