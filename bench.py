@@ -23,7 +23,7 @@ measurement fails, falls back to a documented reference-class estimate
 extra metrics (BASELINE.md / VERDICT r1 asks):
   - cornell_500spp_forward_ms   : 512x512 @ 500 spp forward wall-clock
   - cornell_500spp_fwdbwd_ms    : same config, value_and_grad w.r.t.
-                                  (kd, ke) with 50-spp gradient accumulation
+                                  (kd, ke) with 250-spp gradient accumulation
   - nanosuit_cluster_*          : nanosuit (19k tris, textured) 1024x1024
                                   @ 1 spp on the cluster intersector —
                                   the large-scene TPU path (fwd + fwd/bwd)
