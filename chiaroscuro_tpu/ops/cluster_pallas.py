@@ -223,6 +223,90 @@ def _order_hits(hits, cands, entry, K, Le):
     return meta, ids, skey[:, :Le], cutoff[:, None]
 
 
+def _rowhit_beam(o3, d3, bmin, bmax, tmax=None):
+    """Conservative per-ROW beam test: (B0, K) hit mask + entry lower
+    bounds from interval arithmetic over each row's origin box and
+    direction bounds — ~128x less arithmetic than the per-lane sweep
+    (no lane axis).
+
+    Soundness: for every lane, its slab near lies in [near_lo, ...] and
+    its far in [..., far_hi] by interval-arithmetic monotonicity, so
+    ``far_hi >= max(near_lo, 0)`` can never be false when some lane hits
+    (superset-of-hits mask), and ``max(near_lo, 0)`` lower-bounds every
+    lane's entry (a valid ordering/cutoff bound).  Axes where the row's
+    direction interval spans 0 constrain nothing and are skipped
+    (conservative).  Useful only when rows are coherent — the integrator's
+    global spatial sort (prefers_ray_sort scenes) is what makes bounce
+    and shadow rows tight; divergent rows degrade to near-full lists,
+    which the near-ordered early-exit kernels then prune.
+    """
+    B0 = o3.shape[1]
+    O_lo = [jnp.min(o3[a], axis=1) for a in range(3)]      # (B0,)
+    O_hi = [jnp.max(o3[a], axis=1) for a in range(3)]
+    D_lo = [jnp.min(d3[a], axis=1) for a in range(3)]
+    D_hi = [jnp.max(d3[a], axis=1) for a in range(3)]
+
+    near_lo = jnp.full((B0, 1), -BIG, jnp.float32)
+    far_hi = jnp.full((B0, 1), BIG, jnp.float32)
+    for a in range(3):
+        pos = D_lo[a] > 0.0
+        neg = D_hi[a] < 0.0
+        definite = pos | neg                               # (B0,)
+        # Safe reciprocals of the direction interval endpoints (only
+        # consumed where `definite`).
+        i_lo = 1.0 / jnp.where(definite, D_lo[a], 1.0)
+        i_hi = 1.0 / jnp.where(definite, D_hi[a], 1.0)
+        # Interval product (p_lo..p_hi) * (q_lo..q_hi) via 4 endpoint
+        # products; p = (plane - O), q = 1/D.
+        q_lo = jnp.minimum(i_lo, i_hi)[:, None]            # (B0, 1)
+        q_hi = jnp.maximum(i_lo, i_hi)[:, None]
+
+        def t_interval(plane):                             # plane: (K,)
+            p_lo = plane[None, :] - O_hi[a][:, None]       # (B0, K)
+            p_hi = plane[None, :] - O_lo[a][:, None]
+            t1 = p_lo * q_lo
+            t2 = p_lo * q_hi
+            t3 = p_hi * q_lo
+            t4 = p_hi * q_hi
+            return (
+                jnp.minimum(jnp.minimum(t1, t2), jnp.minimum(t3, t4)),
+                jnp.maximum(jnp.maximum(t1, t2), jnp.maximum(t3, t4)),
+            )
+
+        tmin_lo, tmin_hi = t_interval(bmin[:, a])
+        tmax_lo2, tmax_hi2 = t_interval(bmax[:, a])
+        # Per-lane near_a = min-plane entry, far_a = max-plane exit (the
+        # per-lane lo/hi swap is absorbed by taking interval min/max of
+        # BOTH planes — conservative for mixed-sign rows too).
+        a_near_lo = jnp.minimum(tmin_lo, tmax_lo2)
+        a_far_hi = jnp.maximum(tmin_hi, tmax_hi2)
+        defc = definite[:, None]
+        near_lo = jnp.maximum(near_lo, jnp.where(defc, a_near_lo, -BIG))
+        far_hi = jnp.minimum(far_hi, jnp.where(defc, a_far_hi, BIG))
+
+    hit = (far_hi >= near_lo) & (far_hi >= 0.0)
+    if tmax is not None:
+        hit = hit & (near_lo <= jnp.max(tmax, axis=1)[:, None])
+    entry = jnp.maximum(near_lo, 0.0)
+    return hit, jnp.where(hit, entry, BIG)
+
+
+def _cull_rows_beam(o3, d3, bmin, bmax, Lmax, tmax=None):
+    """Flat cull with the conservative beam test (see :func:`_rowhit_beam`);
+    same (meta, ids, nears, cutoff) contract as :func:`_cull_rows`."""
+    K = bmin.shape[0]
+    o3 = jax.lax.stop_gradient(o3)
+    d3 = jax.lax.stop_gradient(d3)
+    tmax = None if tmax is None else jax.lax.stop_gradient(tmax)
+    rowhit, entry = _rowhit_beam(
+        o3, d3, jnp.asarray(bmin), jnp.asarray(bmax), tmax
+    )
+    cands = jnp.broadcast_to(
+        jnp.arange(K, dtype=jnp.int32)[None, :], rowhit.shape
+    )
+    return _order_hits(rowhit, cands, entry, K, min(Lmax, K))
+
+
 def _cull_rows(o3, d3, bmin, bmax, Lmax, tmax=None):
     """Per-row cluster culling (flat: linear sweep over all K boxes).
 
@@ -1028,6 +1112,7 @@ def make_cluster_intersectors(
     Lsup: int | None = None,
     visit_t: bool | None = None,
     visit_u: int | None = None,
+    beam: bool | None = None,
 ) -> Tuple[ClosestFn, AnyFn]:
     """Cluster-culled Pallas intersectors for large scenes.
 
@@ -1140,7 +1225,22 @@ def make_cluster_intersectors(
             K=K, Lmax=Le, Lsup=Lsup,
         )
     else:
-        cull = partial(_cull_rows, bmin=bmin, bmax=bmax, Lmax=Le)
+        if beam is None:
+            # Conservative per-row beam cull: sound for any wavefront,
+            # profitable only where rows are coherent — the same
+            # K >= COMPACT_MIN_K gate that turns on the global spatial
+            # sort (which is what keeps bounce/shadow rows tight).
+            import os as _os
+
+            env = _os.environ.get("CHIAROSCURO_BEAM_CULL", "")
+            if env in ("0", "false"):
+                beam = False
+            elif env in ("1", "true"):
+                beam = True
+            else:
+                beam = K >= COMPACT_MIN_K
+        cull_fn = _cull_rows_beam if beam else _cull_rows
+        cull = partial(cull_fn, bmin=bmin, bmax=bmax, Lmax=Le)
     oid = np.asarray(clusters.orig_id)                     # (K*M,) i32
     safe_oid = np.minimum(oid, T - 1)
     real = oid < T

@@ -520,3 +520,47 @@ def test_visit_unroll_bitwise_identical(rng, stream, U):
         np.testing.assert_array_equal(
             np.asarray(a[0].attrs[k]), np.asarray(b[0].attrs[k]), err_msg=k)
     np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+def test_beam_cull_conservative_and_exact(rng):
+    """The beam cull's per-row hit mask must be a SUPERSET of the per-lane
+    mask with valid entry lower bounds, and the end-to-end intersector
+    built on it must match the per-lane one exactly (visit lists differ,
+    results cannot)."""
+    from chiaroscuro_tpu.ops.cluster_pallas import (
+        _cull_rows, _rowhit_beam, _rowhit_scan, _safe_inv,
+    )
+    from chiaroscuro_tpu.ops.intersect_pallas import _rows_to_planar
+
+    v0, v1, v2 = _random_soup(rng, 300)
+    scene = _soup_scene(v0, v1, v2)
+    ca = build_clusters(v0, v1, v2, M=16)
+    o, d = _rays(rng, 256, np.float32(-4.4), np.float32(4.4))
+    o3, _ = _rows_to_planar(o)
+    d3, _ = _rows_to_planar(d)
+
+    lane_hit, lane_entry = _rowhit_scan(
+        o3, _safe_inv(d3), ca.bbox_min, ca.bbox_max, None, with_near=True)
+    beam_hit, beam_entry = _rowhit_beam(
+        o3, d3, jnp.asarray(ca.bbox_min), jnp.asarray(ca.bbox_max))
+    lane_hit, lane_entry, beam_hit, beam_entry = map(
+        np.asarray, (lane_hit, lane_entry, beam_hit, beam_entry))
+    assert (beam_hit | ~lane_hit).all()          # superset
+    both = lane_hit & beam_hit
+    assert (beam_entry[both] <= lane_entry[both] + 1e-5).all()  # lower bound
+
+    # End-to-end: beam-culled intersectors == per-lane intersectors.
+    outs = {}
+    for b in (False, True):
+        cf, af = make_cluster_intersectors(
+            scene, M=16, Lmax=8, interpret=True, beam=b)
+        res = cf(o, d)
+        occ = af(o, d, jnp.where(res.hit, res.t * 1.1, 1e9),
+                 jnp.full((256,), -1, jnp.int32))
+        outs[b] = (res, occ)
+    a, bb = outs[False], outs[True]
+    for f in ("hit", "t", "tid", "u", "v"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a[0], f)), np.asarray(getattr(bb[0], f)),
+            err_msg=f)
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(bb[1]))
