@@ -1226,19 +1226,19 @@ def make_cluster_intersectors(
         )
     else:
         if beam is None:
-            # Conservative per-row beam cull: sound for any wavefront,
-            # profitable only where rows are coherent — the same
-            # K >= COMPACT_MIN_K gate that turns on the global spatial
-            # sort (which is what keeps bounce/shadow rows tight).
+            # Conservative per-row beam cull: sound for any wavefront and
+            # 128x cheaper slab arithmetic — but measured 4.5x SLOWER
+            # end-to-end on the sorted 480k atrium (9.64 s vs 2.15 s,
+            # v5e r5): even (cone, cell)-sorted bounce rows expand to
+            # scene-scale beams over the hall's path lengths, and the
+            # inflated candidate lists cost the visit kernels far more
+            # than the cull saves.  Re-confirms the r2 finding that
+            # per-lane exactness is what keeps lists short; kept as an
+            # opt-in measured record (CHIAROSCURO_BEAM_CULL=1).
             import os as _os
 
-            env = _os.environ.get("CHIAROSCURO_BEAM_CULL", "")
-            if env in ("0", "false"):
-                beam = False
-            elif env in ("1", "true"):
-                beam = True
-            else:
-                beam = K >= COMPACT_MIN_K
+            beam = _os.environ.get("CHIAROSCURO_BEAM_CULL", "") in (
+                "1", "true")
         cull_fn = _cull_rows_beam if beam else _cull_rows
         cull = partial(cull_fn, bmin=bmin, bmax=bmax, Lmax=Le)
     oid = np.asarray(clusters.orig_id)                     # (K*M,) i32
