@@ -1170,11 +1170,14 @@ def make_cluster_intersectors(
     K = clusters.K
     if Lmax is None:
         # Candidate-list width: a large list is nearly free at run time (the
-        # near-ordered kernels early-exit, memory is (B0, Le)) while a small
-        # one forces overflow-to-full-K sweeps — the round-3 sponza cliff.
-        # Measured on the 480k atrium (K=3,760): Le=128 overflowed 97% of
-        # sorted bounce rows, Le=512 1.4% (docs/ROOFLINE.md sponza section).
-        Lmax = 512
+        # near-ordered kernels early-exit, memory is (B0, Le) + SMEM) while
+        # a small one forces overflow rows through the phase-2 residual
+        # sweep.  r5 sweep on the 480k atrium (K=3,760, visit_t/U=8,
+        # whole frame): Le=256 4,049 ms / 512 2,150 / 768 1,614 /
+        # 1,024 1,455 / 1,536 1,434 / 3,008 1,429 — plateau from ~1,536
+        # (docs/ROOFLINE.md r5).  1536 costs 96 KB of SMEM ids+nears per
+        # 8-row tile.
+        Lmax = 1536
     Le = min(Lmax, K)
     T = scene.tri_v0.shape[0]
     if T >= int(ID_SENTINEL):
