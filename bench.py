@@ -528,12 +528,13 @@ def bench_sponza_scale(xres=1280, yres=720, spp=1, depth=3,
 
 def bench_atrium3m(xres=1280, yres=720, spp=1, depth=3,
                    target_tris=3_000_000):
-    """Supercluster (hier) cull at its DESIGN point (VERDICT r4 ask #3):
-    ~3 M triangles -> K ~ 23k clusters, past the 16,384 hier gate, where
-    the flat cull's per-row K-wide slab sweep + K-wide sort should finally
-    lose to the two-level sweep.  Benches hier vs flat on the same scene
-    and records both — the gate either earns its keep here or the hier
-    path gets deleted."""
+    """The K > 16k scale probe (VERDICT r4 ask #3): ~3 M triangles ->
+    K ~ 23k clusters.  This config decided the supercluster (hier) cull's
+    fate: with the r5 wide near-ordered lists + phase-2 cutoff, the FLAT
+    sweep won 2.3x at hier's own design point (hier 11.55 s vs flat
+    5.10 s), so the hier path was deleted (docs/ROOFLINE.md r5 deletion
+    record); this config keeps benching the surviving flat path at the
+    2^24-bounded scale extreme."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -562,7 +563,7 @@ def bench_atrium3m(xres=1280, yres=720, spp=1, depth=3,
     out = {"n_tris": int(scene.n_tris), "K": int(ca.K), "KS": int(ca.KS),
            "packed_mb": ca.K * ca.M * PACK_W * 4 / 2**20,
            "spp": spp, "depth": depth, "res": [xres, yres]}
-    assert ca.K > 16384, "atrium3m must engage the hier gate"
+    assert ca.K > 16384, "atrium3m must exercise the K > 16k scale point"
     log(f"[atrium3m] {scene.n_tris} tris, K={ca.K} KS={ca.KS}, "
         f"packed {out['packed_mb']:.0f} MB (streaming)")
 
@@ -575,10 +576,10 @@ def bench_atrium3m(xres=1280, yres=720, spp=1, depth=3,
     center = np.asarray(cam["center"], np.float32)
     up = np.asarray(cam["up"], np.float32)
 
-    for hier, tag in ((True, "hier"), (False, "flat")):
+    for tag in ("flat",):
         try:
             cf, af = make_cluster_intersectors(
-                scene, clusters=ca, interpret=False, hier=hier,
+                scene, clusters=ca, interpret=False,
             )
             bufs = cf.derive_buffers(scene)
 
@@ -610,9 +611,8 @@ def bench_atrium3m(xres=1280, yres=720, spp=1, depth=3,
                 f"rays/s), compile {out[f'compile_s_{tag}']:.1f}s")
         except Exception as e:
             log(f"[atrium3m/{tag}] failed: {e}")
-    if "ms_hier" in out and "ms_flat" in out:
-        out["hier_wins"] = bool(out["ms_hier"] < out["ms_flat"])
-        out["ms"] = min(out["ms_hier"], out["ms_flat"])
+    if "ms_flat" in out:
+        out["ms"] = out["ms_flat"]
     return out
 
 

@@ -45,14 +45,12 @@ class ClusterArrays:
     each cluster, padded slots hold degenerate (all-zero) triangles whose
     Moller-Trumbore determinant is 0 — they can never hit.
 
-    ``G`` consecutive clusters form a *supercluster* (the DFS packing makes
-    consecutive clusters spatial neighbors, so the union boxes stay tight);
-    the two-level cull (``ops/cluster_pallas.py``) slab-tests the ``KS``
-    super boxes densely and defers the child-box tests into the visit
-    kernel, so cull cost scales with K/G instead of K — the same role the
-    reference's kd-tree hierarchy plays against a linear sweep
-    (``src/kdtree.cpp:248-281``).  Padded supercluster slots (the last group
-    when ``K % G != 0``) have inverted boxes for their padded children.
+    ``G`` consecutive clusters form a *group* and ``KS = ceil(K / G)``
+    counts the groups — diagnostic metadata only since round 5: the
+    two-level supercluster cull that consumed per-group union boxes was
+    deleted after the flat sweep with wide near-ordered candidate lists
+    beat it 2.3x at its own K=23,436 design point (BENCH_r05 ``atrium3m``;
+    docs/ROOFLINE.md r5 deletion record).
     """
 
     K: int
@@ -62,10 +60,8 @@ class ClusterArrays:
     tri_rows: np.ndarray   # (K*M, 9) f32 [v0|e1|e2] in cluster order
     orig_id: np.ndarray    # (K*M,) i32 original triangle id; INT32_MAX pad
     order: np.ndarray      # (T,) i32 cluster-order permutation of 0..T-1
-    G: int = 16            # clusters per supercluster
-    KS: int = 0            # number of superclusters = ceil(K / G)
-    super_min: np.ndarray = None  # (KS, 3) f32 union of child boxes
-    super_max: np.ndarray = None  # (KS, 3) f32
+    G: int = 16            # clusters per group (diagnostic metadata)
+    KS: int = 0            # number of groups = ceil(K / G)
 
 
 def build_clusters(
@@ -131,20 +127,10 @@ def build_clusters(
         order_out[pos : pos + n] = ids
         pos += n
 
-    # Supercluster (group-of-G) union boxes over the padded K grid; padded
-    # child slots contribute inverted boxes, so a padded-only group is an
-    # inverted box that can never test as hit in the dense super cull.
     KS = -(-K // G)
-    cmin = np.full((KS * G, 3), np.float32(np.finfo(np.float32).max))
-    cmax = np.full((KS * G, 3), np.float32(np.finfo(np.float32).min))
-    cmin[:K] = bmin
-    cmax[:K] = bmax
-    super_min = cmin.reshape(KS, G, 3).min(axis=1)
-    super_max = cmax.reshape(KS, G, 3).max(axis=1)
-
     return ClusterArrays(
         K=K, M=M, bbox_min=bmin, bbox_max=bmax,
         tri_rows=tri_rows, orig_id=orig_id,
         order=order_out.astype(np.int32),
-        G=G, KS=KS, super_min=super_min, super_max=super_max,
+        G=G, KS=KS,
     )

@@ -335,119 +335,6 @@ def _cull_rows(o3, d3, bmin, bmax, Lmax, tmax=None):
     return _order_hits(rowhit, cands, entry, K, min(Lmax, K))
 
 
-def _cull_rows_hier(o3, d3, sup_min, sup_max, kid_min, kid_max, K, Lmax,
-                    Lsup, tmax=None):
-    """Two-level per-row cluster culling: supercluster sweep, then children.
-
-    The flat cull's cost is K slab tests per ray row — at sponza scale
-    (K ~ 4,000) the linear sweep becomes the frame, exactly the problem the
-    reference's kd-tree hierarchy exists to avoid (``src/kdtree.cpp:248-281``).
-    Here the dense sweep runs over the ``KS = ceil(K/G)`` supercluster union
-    boxes only; each row then slab-tests just the ``G`` child boxes of the
-    (<= ``Lsup``) superclusters it hit.  Cost per row: ``KS + Lsup*G`` tests
-    instead of ``K`` — at K=4,000, G=16, Lsup=16 that is ~8x less slab work,
-    and it *shrinks* as K grows while hit counts stay occupancy-bound.
-
-    Exactness: a super box is the union of its child boxes (same padding),
-    so the super test can never miss a hit child (monotone min/max slab
-    arithmetic).  The row's supercluster list holds the ``Lsup`` *nearest*
-    hit supers by entry bound; rows hitting more get a **sup-level
-    cutoff** — the entry of the first excluded super.  Every child of an
-    excluded super has entry >= its parent's entry >= that cutoff (a
-    contained box can never be entered earlier than its container), so the
-    final phase-2 cutoff ``min(kid cutoff, sup cutoff)`` makes the kernel's
-    residual sweep exact, and the near-ordered prefix stays useful even on
-    sup overflow (the old contract forced a full-K identity sweep with no
-    early exit there).  Returns the flat cull's exact (meta, ids, nears,
-    cutoff) contract.
-
-    sup_min/sup_max: (KS, 3); kid_min/kid_max: (KS, G, 3) with padded child
-    slots inverted (they are additionally masked by ``cid < K`` here, so
-    unlike the flat path's padding they can never register).
-    """
-    KS, G, _ = kid_min.shape
-    o3 = jax.lax.stop_gradient(o3)
-    d3 = jax.lax.stop_gradient(d3)
-    tmax = None if tmax is None else jax.lax.stop_gradient(tmax)
-    inv = _safe_inv(d3)
-
-    # Level 1: dense sweep over the KS super boxes, entry bounds included.
-    suphit, sup_entry = _rowhit_scan(
-        o3, inv, sup_min, sup_max, tmax, with_near=True
-    )                                                        # (B0, KS) x2
-    sup_count = jnp.sum(suphit, axis=1).astype(jnp.int32)
-    Lse = min(Lsup, KS)
-    skey_all = jnp.where(suphit, sup_entry, BIG)
-    sup_iota = jnp.broadcast_to(
-        jnp.arange(KS, dtype=jnp.int32)[None, :], skey_all.shape
-    )
-    skey_sorted, sids_sorted = jax.lax.sort(
-        (skey_all, sup_iota), num_keys=1, is_stable=True
-    )
-    sids = sids_sorted[:, :Lse]                 # Lse NEAREST hit supers
-    svals = (skey_sorted[:, :Lse] < BIG).astype(jnp.int32)
-    sup_over = sup_count > Lse
-    # Entry bound of the nearest EXCLUDED super (BIG when none).
-    sup_cutoff = (
-        skey_sorted[:, Lse] if KS > Lse
-        else jnp.full(skey_all.shape[:1], BIG, jnp.float32)
-    )
-
-    # Level 2: child boxes of the listed supers only.  One scan step per
-    # list slot s: gather that slot's (B0, G, 3) child boxes and slab-test
-    # them — (G, B0, 128) temporaries, same working-set shape as the flat
-    # sweep's CK-chunks but over Lse*G boxes total instead of K.
-    kid_min_flat = kid_min.reshape(KS, G * 3)
-    kid_max_flat = kid_max.reshape(KS, G * 3)
-    garange = np.arange(G, dtype=np.int32)
-
-    def child_step(_, sv):
-        sid, valid = sv                                    # (B0,) each
-        cmn = jnp.take(kid_min_flat, sid, axis=0).reshape(-1, G, 3)
-        cmx = jnp.take(kid_max_flat, sid, axis=0).reshape(-1, G, 3)
-        near = None
-        far = None
-        for a in range(3):
-            t0 = (cmn[:, :, a].T[:, :, None] - o3[a][None]) * inv[a][None]
-            t1 = (cmx[:, :, a].T[:, :, None] - o3[a][None]) * inv[a][None]
-            lo = jnp.minimum(t0, t1)
-            hi = jnp.maximum(t0, t1)
-            near = lo if near is None else jnp.maximum(near, lo)
-            far = hi if far is None else jnp.minimum(far, hi)
-        hit = (far >= near) & (far >= 0.0)                 # (G, B0, 128)
-        if tmax is not None:
-            hit = hit & (near <= tmax[None])
-        cid = sid[None, :] * G + garange[:, None]          # (G, B0)
-        hitg = jnp.any(hit, axis=2) & valid[None, :] & (cid < K)
-        entry = jnp.min(
-            jnp.where(hit, jnp.maximum(near, 0.0), BIG), axis=2
-        )                                                  # (G, B0)
-        return _, (hitg, cid, entry)
-
-    _, (hits, cids, entry) = jax.lax.scan(
-        child_step, 0, (sids.T, (svals > 0).T)
-    )                                                      # (Lse, G, B0) x3
-    B0 = o3.shape[1]
-    hits = hits.reshape(Lse * G, B0).T                     # (B0, Lse*G)
-    cids = cids.reshape(Lse * G, B0).T
-    entry = entry.reshape(Lse * G, B0).T
-
-    Le = min(Lmax, K)
-    # (Candidate ids are distinct by construction: top_k supers are
-    # distinct, children within a super are distinct.)
-    meta, ids, nears, cutoff = _order_hits(hits, cids, entry, K, Le)
-    # Sup-level overflow: the enumeration covered only the children of the
-    # Lse nearest supers; everything else lies at entry >= sup_cutoff (see
-    # docstring), so the near-ordered prefix stays valid phase-1 work and
-    # the kernel's residual sweep triggers on min(kid cutoff, sup cutoff).
-    overflow = sup_over | (meta[:, 1] > 0)
-    meta = jnp.stack([meta[:, 0], overflow.astype(jnp.int32)], axis=1)
-    cutoff = jnp.where(
-        sup_over[:, None], jnp.minimum(cutoff, sup_cutoff[:, None]), cutoff
-    )
-    return meta, ids, nears, cutoff
-
-
 # ---------------------------------------------------------------------------
 # Pallas kernels
 # ---------------------------------------------------------------------------
@@ -1108,8 +995,6 @@ def make_cluster_intersectors(
     interpret: bool | None = None,
     clusters: ClusterArrays | None = None,
     stream: bool | None = None,
-    hier: bool | None = None,
-    Lsup: int | None = None,
     visit_t: bool | None = None,
     visit_u: int | None = None,
     beam: bool | None = None,
@@ -1124,13 +1009,12 @@ def make_cluster_intersectors(
     kd/ke/uv/vertices exactly as in the dense kernel.
 
     ``stream=None`` auto-selects the HBM-streaming kernel when the packed
-    matrix exceeds the VMEM residency budget.  ``hier=None`` auto-selects
-    the two-level supercluster cull (:func:`_cull_rows_hier`) for large
-    cluster counts, where the flat K sweep would dominate the frame;
-    ``Lsup`` caps the per-row supercluster list (overflow = full sweep;
-    measured on the 480k-tri atrium, even *primary* rows hit p50 = 23
-    supers, so the old default of 16 overflowed 96% of rows — see
-    docs/ROOFLINE.md sponza section).
+    matrix exceeds the VMEM residency budget.  (A two-level supercluster
+    cull existed through round 5 and was DELETED: at its K=23,436 design
+    point the flat sweep with wide near-ordered lists + the phase-2
+    cutoff beat it 2.3x — BENCH_r05 ``atrium3m`` hier 11.55 s vs flat
+    5.10 s — and the 2^24 triangle-id cap bounds any scale where the
+    O(K) flat slab could lose; docs/ROOFLINE.md r5 deletion record.)
 
     The returned functions carry a ``bind_scene(scene)`` attribute: it
     re-derives the packed buffers from the *given* scene pytree and returns
@@ -1184,66 +1068,26 @@ def make_cluster_intersectors(
         raise ValueError("cluster intersector supports < 2^24 triangles")
     if stream is None:
         stream = K * M * PACK_W * 4 > RESIDENT_BUDGET_BYTES
-    if hier is None:
-        # The hier cull pays KS + min(Lsup, KS)*G slab tests per row (level
-        # 2 runs its Lse scan steps unconditionally) vs the flat path's K —
-        # AND any row that hits > Lsup supers overflows to a full-K sweep
-        # in the kernel, which costs far more than the cull saves.  Measured
-        # on the 480k atrium (K=3,760, KS=235): sorted bounce rows hit too
-        # many supers for any Lsup << KS (Lsup=96 left 25% of rows
-        # overflowing vs 1.4% for the flat cull at Le=512), so the flat
-        # sweep + wide lists wins up to at least K ~ 4k.  Reserve the
-        # two-level cull for scales where the flat sweep itself would
-        # dominate a frame (K >> 10k, i.e. multi-M-triangle scenes).
-        hier = clusters.super_min is not None and K > 16384
-    if hier and clusters.super_min is None:
-        raise ValueError(
-            "clusters lack supercluster boxes; rebuild with build_clusters"
-        )
-    if Lsup is None:
-        # Scale the supercluster list with the supercluster count: a fixed
-        # Lsup=48 at KS ~ 1,500 (the 3M-triangle atrium) overflows nearly
-        # every row, and each sup-overflow row that fails the cutoff test
-        # pays a full-K phase-2 sweep — measured as minutes-long kernels
-        # (device watchdog kills).  ~KS/6 keeps the enumerated candidate
-        # set ~K/6 wide while the flat sweep is K.
-        Lsup = max(48, min(256, (clusters.KS or 48) // 6))
-
     # Host (numpy) constants: captured by jitted callers without a
     # device->host fetch at lowering time (utils/hostconst.py).
     bmin = np.asarray(clusters.bbox_min)
     bmax = np.asarray(clusters.bbox_max)
-    if hier:
-        G, KS = clusters.G, clusters.KS
-        kid_min = np.full((KS * G, 3), BIG, np.float32)
-        kid_max = np.full((KS * G, 3), -BIG, np.float32)
-        kid_min[:K] = bmin
-        kid_max[:K] = bmax
-        cull = partial(
-            _cull_rows_hier,
-            sup_min=np.asarray(clusters.super_min, np.float32),
-            sup_max=np.asarray(clusters.super_max, np.float32),
-            kid_min=kid_min.reshape(KS, G, 3),
-            kid_max=kid_max.reshape(KS, G, 3),
-            K=K, Lmax=Le, Lsup=Lsup,
-        )
-    else:
-        if beam is None:
-            # Conservative per-row beam cull: sound for any wavefront and
-            # 128x cheaper slab arithmetic — but measured 4.5x SLOWER
-            # end-to-end on the sorted 480k atrium (9.64 s vs 2.15 s,
-            # v5e r5): even (cone, cell)-sorted bounce rows expand to
-            # scene-scale beams over the hall's path lengths, and the
-            # inflated candidate lists cost the visit kernels far more
-            # than the cull saves.  Re-confirms the r2 finding that
-            # per-lane exactness is what keeps lists short; kept as an
-            # opt-in measured record (CHIAROSCURO_BEAM_CULL=1).
-            import os as _os
+    if beam is None:
+        # Conservative per-row beam cull: sound for any wavefront and
+        # 128x cheaper slab arithmetic — but measured 4.5x SLOWER
+        # end-to-end on the sorted 480k atrium (9.64 s vs 2.15 s,
+        # v5e r5): even (cone, cell)-sorted bounce rows expand to
+        # scene-scale beams over the hall's path lengths, and the
+        # inflated candidate lists cost the visit kernels far more
+        # than the cull saves.  Re-confirms the r2 finding that
+        # per-lane exactness is what keeps lists short; kept as an
+        # opt-in measured record (CHIAROSCURO_BEAM_CULL=1).
+        import os as _os
 
-            beam = _os.environ.get("CHIAROSCURO_BEAM_CULL", "") in (
-                "1", "true")
-        cull_fn = _cull_rows_beam if beam else _cull_rows
-        cull = partial(cull_fn, bmin=bmin, bmax=bmax, Lmax=Le)
+        beam = _os.environ.get("CHIAROSCURO_BEAM_CULL", "") in (
+            "1", "true")
+    cull_fn = _cull_rows_beam if beam else _cull_rows
+    cull = partial(cull_fn, bmin=bmin, bmax=bmax, Lmax=Le)
     oid = np.asarray(clusters.orig_id)                     # (K*M,) i32
     safe_oid = np.minimum(oid, T - 1)
     real = oid < T

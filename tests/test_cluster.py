@@ -92,21 +92,17 @@ def test_builder_partitions_triangles(rng):
 
 
 @pytest.mark.parametrize(
-    "lmax,stream,hier",
-    [(4, False, False), (64, False, False), (64, True, False),
-     (4, False, True), (64, False, True), (64, True, True)],
+    "lmax,stream",
+    [(4, False), (64, False), (64, True), (4, True)],
 )
-def test_cluster_closest_matches_oracle(rng, lmax, stream, hier):
-    """lmax=4 forces frequent overflow (full-sweep fallback); lmax=64 makes
-    every row fit its compacted list; stream=True forces the HBM-streaming
-    double-buffered-DMA kernel; hier=True forces the two-level supercluster
-    cull (with Lsup=1 so supercluster overflow is exercised too).  All must
-    be exact."""
+def test_cluster_closest_matches_oracle(rng, lmax, stream):
+    """lmax=4 forces frequent overflow (phase-2 residual sweeps); lmax=64
+    makes every row fit its compacted list; stream=True forces the
+    HBM-streaming double-buffered-DMA kernel.  All must be exact."""
     v0, v1, v2 = _random_soup(rng, 300)
     scene = _soup_scene(v0, v1, v2)
     cf, _ = make_cluster_intersectors(
-        scene, M=16, Lmax=lmax, interpret=True, stream=stream, hier=hier,
-        Lsup=1 if lmax == 4 else 16,
+        scene, M=16, Lmax=lmax, interpret=True, stream=stream,
     )
     o, d = _rays(rng, 300, np.float32(-4.4), np.float32(4.4))
     ph, pt, ptid, pu, pv = cf(o, d)[:5]
@@ -131,14 +127,12 @@ def test_cluster_closest_matches_oracle(rng, lmax, stream, hier):
     )
 
 
-@pytest.mark.parametrize(
-    "stream,hier", [(False, False), (True, False), (False, True), (True, True)]
-)
-def test_cluster_any_matches_oracle(rng, stream, hier):
+@pytest.mark.parametrize("stream", [False, True])
+def test_cluster_any_matches_oracle(rng, stream):
     v0, v1, v2 = _random_soup(rng, 300)
     scene = _soup_scene(v0, v1, v2)
     _, af = make_cluster_intersectors(
-        scene, M=16, Lmax=8, interpret=True, stream=stream, hier=hier
+        scene, M=16, Lmax=8, interpret=True, stream=stream
     )
     o, d = _rays(rng, 300, np.float32(-4.4), np.float32(4.4))
     tmax = jnp.asarray(rng.uniform(0.5, 10.0, (300,)), jnp.float32)
@@ -148,64 +142,6 @@ def test_cluster_any_matches_oracle(rng, stream, hier):
         o, d, scene.tri_v0, scene.tri_v1, scene.tri_v2, tmax, excl
     )
     np.testing.assert_array_equal(np.asarray(occ), np.asarray(ref))
-
-
-@pytest.mark.parametrize("with_tmax", [False, True])
-def test_hier_cull_matches_flat(rng, with_tmax):
-    """The two-level supercluster cull must produce the flat linear sweep's
-    exact (meta, ids, nears) when neither path overflows: same per-row trip
-    count, same hit-cluster-id set, same per-id entry-distance bound, and
-    both lists near-ascending."""
-    from chiaroscuro_tpu.ops.cluster_pallas import (
-        BIG, _cull_rows, _cull_rows_hier,
-    )
-    from chiaroscuro_tpu.ops.intersect_pallas import _rows_to_planar
-
-    v0, v1, v2 = _random_soup(rng, 900)
-    ca = build_clusters(v0, v1, v2, M=16, G=4)
-    K, G, KS = ca.K, ca.G, ca.KS
-    kid_min = np.full((KS * G, 3), BIG, np.float32)
-    kid_max = np.full((KS * G, 3), -BIG, np.float32)
-    kid_min[:K] = ca.bbox_min
-    kid_max[:K] = ca.bbox_max
-
-    o, d = _rays(rng, 256, np.float32(-4.4), np.float32(4.4))
-    o3, _ = _rows_to_planar(o)
-    d3, _ = _rows_to_planar(d)
-    tmax = (
-        jnp.asarray(rng.uniform(0.5, 6.0, o3.shape[1:]), jnp.float32)
-        if with_tmax else None
-    )
-
-    fm, fids, fnears, fcut = _cull_rows(
-        o3, d3, ca.bbox_min, ca.bbox_max, K, tmax=tmax
-    )
-    hm, hids, hnears, hcut = _cull_rows_hier(
-        o3, d3, ca.super_min, ca.super_max,
-        kid_min.reshape(KS, G, 3), kid_max.reshape(KS, G, 3),
-        K, K, Lsup=KS, tmax=tmax,
-    )
-    fm, fids, fnears, hm, hids, hnears = map(
-        np.asarray, (fm, fids, fnears, hm, hids, hnears)
-    )
-    assert not fm[:, 1].any() and not hm[:, 1].any()  # Le=K: no overflow
-    # No overflow -> phase-2 cutoff disabled (inf) on both paths.
-    assert np.isinf(np.asarray(fcut)).all() and np.isinf(np.asarray(hcut)).all()
-    np.testing.assert_array_equal(hm[:, 0], fm[:, 0])
-    for b in range(fm.shape[0]):
-        trip = fm[b, 0]
-        # near-ascending visit order in both paths
-        assert (np.diff(fnears[b, :trip]) >= 0).all()
-        assert (np.diff(hnears[b, :trip]) >= 0).all()
-        # same (id -> near) mapping; order may differ only among equal nears
-        np.testing.assert_array_equal(
-            np.sort(hids[b, :trip]), np.sort(fids[b, :trip])
-        )
-        forder = np.argsort(fids[b, :trip], kind="stable")
-        horder = np.argsort(hids[b, :trip], kind="stable")
-        np.testing.assert_array_equal(
-            hnears[b, :trip][horder], fnears[b, :trip][forder]
-        )
 
 
 def test_cluster_attrs_match_scene_gathers(rng):

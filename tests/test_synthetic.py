@@ -1,7 +1,7 @@
 """Synthetic sponza-scale atrium (scene/synthetic.py).
 
 CPU tier: generator determinism + budget accuracy, and exactness of the
-HBM-streaming + supercluster-cull intersector configuration — the exact
+HBM-streaming intersector configuration — the exact
 kernel configuration the full-scale scene engages on TPU — on a small
 atrium in interpreter mode.  The full-scale (~480k tris) on-chip check
 lives in tests/test_tpu_compiled.py / tools/tpu_atrium_check.py.
@@ -72,26 +72,16 @@ def test_atrium_is_textured():
 import pytest
 
 
-@pytest.mark.parametrize(
-    "hier,Lmax",
-    [
-        # The full-scale atrium (K=3,760 < the hier gate of 16,384) ships
-        # stream=True + FLAT cull + wide Le=512 candidate lists on TPU
-        # (ops/cluster_pallas.py make_cluster_intersectors defaults); pin
-        # that production configuration against the oracle (advisor r4).
-        (False, 512),
-        # The two-level supercluster cull (engaged only for K > 16,384,
-        # i.e. multi-M-triangle scenes) stays oracle-pinned too.
-        (True, None),
-    ],
-)
-def test_atrium_streaming_hier_matches_oracle(rng, hier, Lmax):
-    """Streaming-kernel configs pinned against the brute oracle (small
-    scene, interpreter mode): both the shipped flat-cull config and the
-    forced supercluster (hier) cull."""
+@pytest.mark.parametrize("Lmax", [512, None])
+def test_atrium_streaming_matches_oracle(rng, Lmax):
+    """The shipped streaming configuration (flat cull; explicit and
+    default candidate-list widths) pinned against the brute oracle (small
+    scene, interpreter mode).  The former supercluster (hier) variant was
+    deleted in r5 — flat + wide near-ordered lists beat it 2.3x at its own
+    K=23k design point (docs/ROOFLINE.md r5 deletion record)."""
     scene = build_scene_arrays(atrium(2_200, seed=5), device_put=False)
     cf, af = make_cluster_intersectors(
-        scene, M=32, interpret=True, stream=True, hier=hier, Lmax=Lmax,
+        scene, M=32, interpret=True, stream=True, Lmax=Lmax,
     )
     lo, hi = np.asarray(scene.world_min), np.asarray(scene.world_max)
     o = jnp.asarray(rng.uniform(lo, hi, (128, 3)), jnp.float32)
@@ -105,7 +95,7 @@ def test_atrium_streaming_hier_matches_oracle(rng, hier, Lmax):
     np.testing.assert_allclose(
         np.asarray(ch.t)[hit], np.asarray(ot)[hit], rtol=1e-5, atol=1e-5
     )
-    # any-hit through the same streaming+hier path.
+    # any-hit through the same streaming path.
     occ = af(o, d, jnp.where(ch.hit, ch.t * 1.5, 1e9),
              jnp.full((128,), -1, jnp.int32))
     np.testing.assert_array_equal(np.asarray(occ), hit)

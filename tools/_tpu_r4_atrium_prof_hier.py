@@ -1,4 +1,9 @@
-"""Sponza-scale (atrium) cluster-intersector profile: per-bounce trip/
+"""[HISTORICAL — r4/r5 evidence] Profiles the two-level supercluster
+(hier) cull DELETED in r5 (flat + wide lists won 2.3x at K=23k; see
+docs/ROOFLINE.md).  Kept as the measured record behind the r4 ROOFLINE
+sponza section; does NOT run against current HEAD.
+
+Sponza-scale (atrium) cluster-intersector profile: per-bounce trip/
 overflow histograms + kernel-config timings.  Feeds docs/ROOFLINE.md's
 sponza section (VERDICT r3 ask #1: measure before attacking).
 
