@@ -43,8 +43,7 @@ def main(target_tris: int = 480_000, n_rays: int = 2048):
     # but a heuristic regression must fail loudly here, not silently test
     # some other configuration).
     closest_fn, any_fn = make_cluster_intersectors(
-        scene, clusters=ca, interpret=False, stream=True, hier=False,
-        Lmax=512)
+        scene, clusters=ca, interpret=False, stream=True)
 
     rng = np.random.default_rng(11)
     lo, hi = np.asarray(scene.world_min), np.asarray(scene.world_max)
