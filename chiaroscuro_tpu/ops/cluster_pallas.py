@@ -1016,13 +1016,22 @@ def make_cluster_intersectors(
     5.10 s — and the 2^24 triangle-id cap bounds any scale where the
     O(K) flat slab could lose; docs/ROOFLINE.md r5 deletion record.)
 
+    ``visit_t`` / ``visit_u`` / ``beam`` (all env-overridable, defaults
+    are the measured r5 winners): transposed visit layout (rays on
+    sublanes — default ON), U-way visit-loop unroll with group early-exit
+    (default 8), and the conservative per-row beam cull (default OFF —
+    measured 4.5x slower end-to-end; kept as an opt-in record).
+
     The returned functions carry a ``bind_scene(scene)`` attribute: it
     re-derives the packed buffers from the *given* scene pytree and returns
     planar (closest, any) functions bound to them.  The integrator calls it
     with its (usually traced) scene argument so the packed matrix becomes a
     value computed from jit arguments — NOT an 88 MB MLIR constant (the
     round-3 sponza 237 s compile cliff) — and is derived once per frame,
-    hoisted out of the sample/bounce scans.
+    hoisted out of the sample/bounce scans.  For many frames of an
+    UNCHANGING scene, ``derive_buffers`` + ``bind_buffers`` pass the
+    buffers as jit arguments instead (zero per-frame derivation; see their
+    docstrings).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
